@@ -1,0 +1,97 @@
+"""Checkpointed, resumable validation runs with per-partition lineage.
+
+North-star requirement: an append-only checkpoint table keyed by
+(snapshot id, partition spec) recording rows-scanned / violations /
+wall-time; a restarted run anti-joins against it and skips
+already-validated partitions (SURVEY.md §2.10).
+
+Backed by a parquet directory here (the sandbox has no Iceberg runtime
+jar); the store is a thin interface so an Iceberg table can be swapped
+in by changing only this module (SURVEY.md §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+CHECKPOINT_SCHEMA = StructType([
+    StructField("snapshot_id", StringType()),
+    StructField("partition_spec", StringType()),
+    StructField("rows_scanned", LongType()),
+    StructField("violations", LongType()),
+    StructField("wall_time_s", DoubleType()),
+    StructField("run_id", StringType()),
+])
+
+
+class CheckpointStore:
+    """Append-only per-partition lineage records in a parquet directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def completed(self, snapshot_id: str) -> set[str]:
+        if not os.path.isdir(self.path):
+            return set()
+        try:
+            df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        except Exception:
+            return set()
+        rows = (df.where(F.col("snapshot_id") == snapshot_id)
+                  .select("partition_spec").distinct().collect())
+        return {r["partition_spec"] for r in rows}
+
+    def append(self, snapshot_id: str, partition_spec: str,
+               rows_scanned: int, violations: int, wall_time_s: float,
+               run_id: str):
+        row = [(snapshot_id, partition_spec, rows_scanned, violations,
+                wall_time_s, run_id)]
+        (self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.path))
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+
+def run_resumable(df: DataFrame, partition_col: str, store: CheckpointStore,
+                  snapshot_id: str, validate_partition,
+                  fail_after: int | None = None) -> dict:
+    """Validate per partition-value, checkpointing each; on restart,
+    already-checkpointed partitions are skipped.
+
+    ``validate_partition(part_df) -> (rows_scanned, n_violations)`` runs
+    the actual (distributed) validation for one partition's rows.
+    ``fail_after`` aborts after N partitions (for resumability tests).
+    Returns {"validated": [...], "skipped": [...]}.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    done = store.completed(snapshot_id)
+    parts = [r[0] for r in
+             df.select(partition_col).distinct().orderBy(partition_col)
+               .collect()]
+    validated, skipped = [], []
+    n_done = 0
+    for part in parts:
+        spec = f"{partition_col}={part}"
+        if spec in done:
+            skipped.append(spec)
+            continue
+        t0 = time.monotonic()
+        part_df = df.where(F.col(partition_col) == part)
+        rows_scanned, n_viol = validate_partition(part_df)
+        store.append(snapshot_id, spec, rows_scanned, n_viol,
+                     time.monotonic() - t0, run_id)
+        validated.append(spec)
+        n_done += 1
+        if fail_after is not None and n_done >= fail_after:
+            raise RuntimeError(f"simulated failure after {fail_after} partitions")
+    return {"validated": validated, "skipped": skipped}

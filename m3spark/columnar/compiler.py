@@ -1,0 +1,387 @@
+"""Schema → Column-expression compiler (the 100 TB hot path).
+
+Re-expresses m3's keyword checkers (SURVEY.md §2.1-2.3, §2.7) as pure
+Spark ``Column`` predicates over a flat, typed table: the schema's
+top-level ``properties`` map to DataFrame columns, ``required`` maps to
+NOT NULL, and every scalar keyword compiles to a boolean expression that
+stays inside whole-stage codegen.  A SQL ``NULL`` models a *missing* JSON
+property (so type/bounds checks pass on NULL and ``required`` fails on
+it, matching JSON Schema presence semantics — m3's ``present?`` gate,
+validate.cljc:205-232).
+
+Compile-time specialization mirrors the reference's two-level currying
+(validate.cljc:26-43): draft-dependent branches (old-draft
+exclusiveMinimum booleans, divisibleBy vs multipleOf) are resolved when
+the plan is built, not per row (property.cljc:531-532 analog).
+
+Formats whose semantics survive a Java regex run as JVM ``rlike``
+(:data:`m3spark.schema.formats.SPARK_RLIKE`); the rest fall back to
+Arrow-batched pandas UDFs over the same Python format registry — the
+north-star's "regex/format checks batched, never per-row Python".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from m3spark.schema.core import (
+    DRAFT3, DRAFT4, D2019, _ge, draft_of,
+)
+from m3spark.schema.formats import FORMATS, SPARK_RLIKE
+
+
+class UnsupportedKeyword(Exception):
+    """Schema uses a keyword the columnar compiler can't lower; route the
+    query through m3spark.sparkval (Arrow-batched interpreter) instead."""
+
+
+@dataclass
+class Check:
+    """One compiled constraint: a builder producing an 'ok' predicate."""
+    column: str
+    keyword: str
+    schema_path: str
+    message: str
+    level: str
+    build: Callable[[Column, T.DataType], Column]
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _type_ok(tname: str, dtype: T.DataType, col: Column) -> Column:
+    """Static-first type check: if the column's Spark type already
+    satisfies the JSON type, the predicate folds to a literal (free under
+    Catalyst constant folding)."""
+    if tname == "null":
+        return col.isNull()
+    if tname == "string":
+        return F.lit(isinstance(dtype, T.StringType))
+    if tname == "boolean":
+        return F.lit(isinstance(dtype, T.BooleanType))
+    if tname == "number":
+        return F.lit(isinstance(dtype, _NUMERIC))
+    if tname == "integer":
+        if isinstance(dtype, _INTEGRAL):
+            return F.lit(True)
+        if isinstance(dtype, _NUMERIC):
+            return col == F.floor(col)  # draft6+ zero-fraction semantics
+        return F.lit(False)
+    if tname == "array":
+        return F.lit(isinstance(dtype, T.ArrayType))
+    if tname == "object":
+        return F.lit(isinstance(dtype, (T.StructType, T.MapType)))
+    if tname == "any":
+        return F.lit(True)
+    return F.lit(False)
+
+
+def _format_pred(fmt: str) -> Callable[[Column, T.DataType], Column]:
+    rx = SPARK_RLIKE.get(fmt)
+    if rx is not None:
+        return lambda col, dt: col.rlike(rx)
+    fn = FORMATS.get(fmt)
+    if fn is None:
+        return lambda col, dt: F.lit(True)
+
+    @F.pandas_udf(T.BooleanType())
+    def fmt_udf(s: pd.Series) -> pd.Series:
+        f = FORMATS[fmt]
+        return s.map(lambda x: None if x is None else bool(f(x)))
+
+    return lambda col, dt: fmt_udf(col)
+
+
+def _pattern_pred(pattern: str, force_python: bool) -> Callable:
+    if not force_python and "\\c" not in pattern:
+        return lambda col, dt: col.rlike(pattern)
+
+    @F.pandas_udf(T.BooleanType())
+    def pat_udf(s: pd.Series) -> pd.Series:
+        from m3spark.schema.core import compile_ecma_pattern  # noqa: PLC0415
+        rx = compile_ecma_pattern(pattern)
+        return s.map(lambda x: None if x is None else rx.search(x) is not None)
+
+    return lambda col, dt: pat_udf(col)
+
+
+class ColumnarValidator:
+    """Compiled columnar validation plan for one schema over one table
+    shape.  ``apply(df)`` appends ``violations`` + ``valid`` columns;
+    ``violation_rows(df, key)`` yields the north-star violation table."""
+
+    def __init__(self, schema: dict, draft: str | None = None,
+                 format_assertion: bool | None = None,
+                 force_python_patterns: bool = False,
+                 strict: bool = True):
+        self.schema = schema
+        self.draft = draft or draft_of(schema)
+        if format_assertion is None:
+            format_assertion = not _ge(self.draft, D2019)
+        self.format_assertion = format_assertion
+        self._force_py = force_python_patterns
+        self.checks: list[Check] = []
+        self.unsupported: list[str] = []
+        self._compile_root(schema)
+        if strict and self.unsupported:
+            raise UnsupportedKeyword(
+                f"columnar compiler cannot lower: {self.unsupported}; "
+                f"use m3spark.sparkval.validate_json for these")
+
+    # -- compilation --------------------------------------------------------
+
+    _PROP_KEYWORDS = {
+        "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+        "exclusiveMaximum", "multipleOf", "divisibleBy", "minLength",
+        "maxLength", "pattern", "format", "allOf", "anyOf", "oneOf", "not",
+        "required",  # draft3 boolean form
+        "title", "description", "default", "examples", "$comment",
+        "deprecated", "readOnly", "writeOnly",
+    }
+    _ROOT_KEYWORDS = {
+        "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
+        "required", "additionalProperties", "title", "description",
+        "$comment",
+    }
+
+    def _compile_root(self, schema: dict):
+        for k in schema:
+            if k not in self._ROOT_KEYWORDS:
+                self.unsupported.append(k)
+        req = schema.get("required")
+        if isinstance(req, list):
+            for name in req:
+                self._add(name, "required", f"/required",
+                          f"required property {name!r} missing",
+                          "error", self._required_builder())
+        props = schema.get("properties")
+        if isinstance(props, dict):
+            for name, sub in props.items():
+                self._compile_property(name, sub, f"/properties/{name}")
+
+    def _required_builder(self):
+        return lambda col, dt: col.isNotNull()
+
+    def _add(self, column, keyword, sp, msg, level, build, null_passes=True):
+        if null_passes and keyword != "required":
+            inner = build
+            build = lambda col, dt, _b=inner: (  # noqa: E731
+                F.when(col.isNull(), F.lit(True)).otherwise(_b(col, dt)))
+        self.checks.append(Check(column, keyword, sp, msg, level, build))
+
+    def _compile_property(self, name: str, sub, sp: str):
+        if sub is True or sub == {}:
+            return
+        if sub is False:
+            self._add(name, "false", sp, "schema is false", "error",
+                      lambda col, dt: F.lit(False))
+            return
+        if not isinstance(sub, dict):
+            return
+        for k in sub:
+            if k not in self._PROP_KEYWORDS:
+                self.unsupported.append(f"{sp}/{k}")
+        draft = self.draft
+        old = draft in (DRAFT3, DRAFT4)
+
+        t = sub.get("type")
+        if isinstance(t, str):
+            self._add(name, "type", f"{sp}/type",
+                      f"expected type {t}", "error",
+                      lambda col, dt, _t=t: _type_ok(_t, dt, col))
+        elif isinstance(t, list):
+            names = [x for x in t if isinstance(x, str)]
+            self._add(name, "type", f"{sp}/type",
+                      f"expected one of {names}", "error",
+                      lambda col, dt, _n=tuple(names): _reduce_or(
+                          [_type_ok(x, dt, col) for x in _n]),
+                      null_passes=False if "null" in names else True)
+
+        if isinstance(sub.get("enum"), list):
+            vals = sub["enum"]
+            self._add(name, "enum", f"{sp}/enum",
+                      f"value not in enum ({len(vals)} options)", "error",
+                      lambda col, dt, _v=tuple(vals): col.isin(*_v))
+        if "const" in sub:
+            cv = sub["const"]
+            self._add(name, "const", f"{sp}/const",
+                      "value does not equal const", "error",
+                      lambda col, dt, _c=cv: col == F.lit(_c))
+
+        for kw, op in (("minimum", ">="), ("maximum", "<=")):
+            if kw in sub and isinstance(sub[kw], (int, float)) \
+                    and not isinstance(sub[kw], bool):
+                bound = sub[kw]
+                strict_excl = old and sub.get(
+                    "exclusiveMinimum" if kw == "minimum"
+                    else "exclusiveMaximum") is True
+                eff = {">=": ">", "<=": "<"}[op] if strict_excl else op
+                self._add(name, kw, f"{sp}/{kw}",
+                          f"value is not {eff} {bound}", "error",
+                          _cmp_builder(eff, bound))
+        if not old:
+            for kw, op in (("exclusiveMinimum", ">"), ("exclusiveMaximum", "<")):
+                if kw in sub and isinstance(sub[kw], (int, float)) \
+                        and not isinstance(sub[kw], bool):
+                    self._add(name, kw, f"{sp}/{kw}",
+                              f"value is not {op} {sub[kw]}", "error",
+                              _cmp_builder(op, sub[kw]))
+        mof_kw = "divisibleBy" if draft == DRAFT3 else "multipleOf"
+        if mof_kw in sub and isinstance(sub[mof_kw], (int, float)) \
+                and not isinstance(sub[mof_kw], bool):
+            d = Decimal(str(sub[mof_kw]))
+            self._add(name, mof_kw, f"{sp}/{mof_kw}",
+                      f"value is not a multiple of {sub[mof_kw]}", "error",
+                      # exact via decimal cast, never float modulo
+                      # (m3 BigDecimal semantics: property.cljc:622-632)
+                      lambda col, dt, _d=d: (
+                          col.cast(T.DecimalType(38, 12)) % F.lit(_d)) == 0)
+
+        if "minLength" in sub:
+            v = sub["minLength"]
+            self._add(name, "minLength", f"{sp}/minLength",
+                      f"string shorter than {v}", "error",
+                      lambda col, dt, _v=v: F.length(col) >= _v)
+        if "maxLength" in sub:
+            v = sub["maxLength"]
+            self._add(name, "maxLength", f"{sp}/maxLength",
+                      f"string longer than {v}", "error",
+                      lambda col, dt, _v=v: F.length(col) <= _v)
+        if isinstance(sub.get("pattern"), str):
+            pat = sub["pattern"]
+            self._add(name, "pattern", f"{sp}/pattern",
+                      f"string does not match {pat!r}", "error",
+                      _pattern_pred(pat, self._force_py))
+        if isinstance(sub.get("format"), str):
+            fmt = sub["format"]
+            level = "error" if self.format_assertion else "warning"
+            if fmt in FORMATS:
+                self._add(name, "format", f"{sp}/format",
+                          f"not a valid {fmt}", level, _format_pred(fmt))
+
+        for comb in ("allOf", "anyOf", "oneOf"):
+            if isinstance(sub.get(comb), list):
+                self._compile_combinator(name, comb, sub[comb], f"{sp}/{comb}")
+        if isinstance(sub.get("not"), dict):
+            inner = ColumnarValidator({"properties": {name: sub["not"]}},
+                                      draft=self.draft,
+                                      format_assertion=self.format_assertion,
+                                      strict=False)
+            self.unsupported.extend(inner.unsupported)
+            builders = [c.build for c in inner.checks]
+            self._add(name, "not", f"{sp}/not", "value matches 'not' schema",
+                      "error",
+                      lambda col, dt, _b=builders: ~_reduce_and(
+                          [b(col, dt) for b in _b]))
+
+    def _compile_combinator(self, name, comb, subs, sp):
+        groups = []
+        for i, s in enumerate(subs):
+            inner = ColumnarValidator({"properties": {name: s}},
+                                      draft=self.draft,
+                                      format_assertion=self.format_assertion,
+                                      strict=False)
+            self.unsupported.extend(inner.unsupported)
+            groups.append([c.build for c in inner.checks])
+
+        def build(col, dt, _g=groups, _comb=comb):
+            branch = [_reduce_and([b(col, dt) for b in builders])
+                      for builders in _g]
+            if _comb == "allOf":
+                return _reduce_and(branch)
+            if _comb == "anyOf":
+                return _reduce_or(branch)
+            total = None
+            for p in branch:
+                c = F.when(p, 1).otherwise(0)
+                total = c if total is None else total + c
+            return total == 1
+
+        self._add(name, comb, sp, f"{comb} constraint failed", "error", build)
+
+    # -- application --------------------------------------------------------
+
+    def apply(self, df: DataFrame, out_valid: str = "valid",
+              out_violations: str = "violations") -> DataFrame:
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+        structs = []
+        for c in self.checks:
+            if c.column not in dtypes:
+                # column absent from the table: required fails statically,
+                # everything else passes (missing property semantics)
+                ok = F.lit(c.keyword != "required")
+                col = None
+            else:
+                col = F.col(c.column)
+                ok = c.build(col, dtypes[c.column])
+            viol = F.struct(
+                F.lit(c.keyword).alias("keyword"),
+                F.lit(c.schema_path).alias("schema_path"),
+                F.lit("/" + c.column).alias("doc_path"),
+                F.lit(c.message).alias("message"),
+                F.lit(c.level).alias("level"))
+            structs.append(F.when(~ok.eqNullSafe(True), viol))
+        if structs:
+            viol_arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        else:
+            viol_arr = F.array().cast(
+                "array<struct<keyword:string,schema_path:string,"
+                "doc_path:string,message:string,level:string>>")
+        df = df.withColumn(out_violations, viol_arr)
+        df = df.withColumn(
+            out_valid,
+            F.size(F.filter(F.col(out_violations),
+                            lambda x: x["level"] == "error")) == 0)
+        return df
+
+    def violation_rows(self, df: DataFrame, key_col: str) -> DataFrame:
+        """The north-star violation table: (key, keyword, path, message)."""
+        applied = self.apply(df)
+        v = F.explode("violations")
+        return (applied.select(F.col(key_col), v.alias("v"))
+                .select(key_col,
+                        F.col("v.keyword").alias("keyword"),
+                        F.col("v.schema_path").alias("schema_path"),
+                        F.col("v.doc_path").alias("doc_path"),
+                        F.col("v.message").alias("message"),
+                        F.col("v.level").alias("level")))
+
+
+def _reduce_and(preds: list[Column]) -> Column:
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _reduce_or(preds: list[Column]) -> Column:
+    if not preds:
+        return F.lit(False)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
+
+
+def _cmp_builder(op: str, bound):
+    def build(col, dt, _b=bound, _op=op):
+        if _op == ">":
+            return col > _b
+        if _op == ">=":
+            return col >= _b
+        if _op == "<":
+            return col < _b
+        return col <= _b
+    return build
