@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship columnar validation over sf0.001 documents.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2
+plus the training-data ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+genuinely non-SQL-expressible scale ops, which get rows-only checks).
+
+Column names are aliased identically on both sides; float outputs are
+rounded (or computed in exact decimal) so value hashes agree.
 """
 
 from __future__ import annotations
@@ -12,27 +15,550 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# schemas used by the validation queries
+
+DOCUMENTS_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "type": "object",
+    "required": ["doc_id", "text", "lang", "source", "n_chars"],
+    "properties": {
+        "doc_id": {"type": "integer", "minimum": 0},
+        "lang": {"enum": ["en", "de", "fr", "es"]},
+        "source": {"pattern": "^src[0-9]$"},
+        "n_chars": {"minimum": 50, "maximum": 500},
+        "text": {"minLength": 1},
+    },
+}
+
+LINEITEM_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "l_quantity": {"exclusiveMaximum": 50},
+        "l_discount": {"multipleOf": 0.02},
+        "l_tax": {"maximum": 0.05},
+    },
+}
+
+EVENT_PROPS_SCHEMA = {
+    "type": "object",
+    "required": ["k"],
+    "properties": {"k": {"type": "integer", "minimum": 0,
+                         "exclusiveMaximum": 50}},
+}
+
+
+# --------------------------------------------------------------------------
+# queries
+
+
+def q_val_documents(spark, sf_dir):
+    """Columnar keyword validation (enum/pattern/bounds/minLength/required)
+    over the documents table — SURVEY.md §2.1-2.3."""
+    from m3spark.columnar import ColumnarValidator
+
+    docs = _t(spark, sf_dir, "documents")
+    cv = ColumnarValidator(DOCUMENTS_SCHEMA, format_assertion=True)
+    return (cv.violation_rows(docs, "doc_id")
+              .select("doc_id", "keyword", "schema_path")
+              .orderBy("doc_id", "keyword"))
+
+
+def q_val_lineitem(spark, sf_dir):
+    """Numeric keyword checks incl. exact decimal multipleOf — §2.1."""
+    from m3spark.columnar import ColumnarValidator
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "line_id",
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                 F.col("l_linenumber").cast("string")))
+    cv = ColumnarValidator(LINEITEM_SCHEMA, format_assertion=True)
+    return (cv.violation_rows(li, "line_id")
+              .select("line_id", "keyword")
+              .orderBy("line_id", "keyword"))
+
+
+def q_val_events_props(spark, sf_dir):
+    """Nested-JSON validation through the Arrow-batched interpreter
+    (type/required/bounds on a JSON payload column) — §2.3/2.4."""
+    from m3spark.sparkval import validate_json
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("props").alias("doc"))
+    out = validate_json(ev, EVENT_PROPS_SCHEMA, format_assertion=True)
+    return out.select("event_id", "valid")
+
+
+def q_uniqueness_documents(spark, sf_dir):
+    """Cross-row uniqueness (distributed uniqueItems) on a composite key
+    — §2.5/§2.10."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+                .agg(F.count(F.lit(1)).alias("dup_count"))
+                .filter(F.col("dup_count") > 1))
+
+
+def q_ref_orders_without_lineitems(spark, sf_dir):
+    """Referential check as anti-join (orders with no lineitems) — §2.10."""
+    from m3spark.checks import referential_violations
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"))
+    return (referential_violations(orders, li, "o_orderkey",
+                                   broadcast_dim=False)
+            .select("o_orderkey"))
+
+
+def q_ref_lineitem_orphans(spark, sf_dir):
+    """Anti-join the other way (lineitems with no part): negative control
+    — must be empty when referential integrity holds."""
+    from m3spark.checks import referential_violations
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (referential_violations(li, part, "l_partkey", "p_partkey")
+            .select("l_partkey", "l_orderkey"))
+
+
+def q_stats_documents(spark, sf_dir):
+    """Per-group column stats (count/min/max/avg/distinct) — §2.10."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min("n_chars").alias("min_chars"),
+                     F.max("n_chars").alias("max_chars"),
+                     F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                     F.count_distinct("source").alias("n_sources")))
+
+
+def q_stats_events_daily(spark, sf_dir):
+    """Per-day stats with exact decimal sums (deterministic across
+    partitionings) — §2.10."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("sum_value"),
+                   F.count_distinct("user_id").alias("n_users")))
+
+
+def q_drift_events_psi(spark, sf_dir):
+    """PSI of event_type mix between the two halves of the time range
+    — §2.10 drift detection, computed fully in DataFrame ops."""
+    ev = _t(spark, sf_dir, "events")
+    half = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    counts = (ev.groupBy("event_type")
+                .agg(F.sum(half.cast("long")).alias("c_a"),
+                     F.sum((~half).cast("long")).alias("c_b")))
+    tot = counts.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
+    j = counts.crossJoin(tot)
+    p = F.col("c_a") / F.col("t_a")
+    q = F.col("c_b") / F.col("t_b")
+    term = (p - q) * F.log(p / q)
+    return j.agg(F.round(F.sum(term), 6).alias("psi"))
+
+
+def q_drift_events_ks(spark, sf_dir):
+    """Binned two-sample KS statistic on `value` between time halves
+    — §2.10: histogram in Spark, ECDF via window, max |diff|."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    half = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+    b = F.floor(F.col("value") / 25).alias("bucket")
+    h = (ev.groupBy(b)
+           .agg(F.sum(half.cast("long")).alias("c_a"),
+                F.sum((~half).cast("long")).alias("c_b")))
+    tot = h.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = (h.crossJoin(tot)
+             .withColumn("cum_a", F.sum("c_a").over(w) / F.col("t_a"))
+             .withColumn("cum_b", F.sum("c_b").over(w) / F.col("t_b")))
+    return ecdf.agg(F.round(F.max(F.abs(F.col("cum_a") - F.col("cum_b"))), 6)
+                    .alias("ks"))
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    """Exact content dedup via md5 hash-groupBy (negative control on this
+    corpus: no identical texts)."""
+    from m3spark.ops import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, ["text"])
+
+
+def q_dedup_jaccard_documents(spark, sf_dir):
+    """N-gram (char-8-shingle) Jaccard near-dup pairs, integer-ratio
+    threshold >= 3/25 — dedup family."""
+    from m3spark.ops import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (jaccard_pairs(docs, "doc_id", "text", k=8, stride=4,
+                          threshold_num=3, threshold_den=25)
+            .select("id_a", "id_b", "inter_count", "jaccard"))
+
+
+def q_sim_topk_embeddings(spark, sf_dir):
+    """Brute-force cosine top-10 to the vec_id=0 embedding — similarity
+    search baseline (double-precision, sequential dot product)."""
+    from m3spark.ops import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk(emb, "embedding", [float(x) for x in qvec], 10)
+
+
+def q_text_tokens_documents(spark, sf_dir):
+    """Token counting + length stats — text-analysis family."""
+    from m3spark.ops import token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs, "doc_id", "text")
+
+
+def q_text_quality_documents(spark, sf_dir):
+    """Quality scoring (length/diversity/stopword heuristics)."""
+    from m3spark.ops import quality
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality(docs, "doc_id", "text")
+
+
+def q_text_langid_documents(spark, sf_dir):
+    """Language-ID heuristic (charclass + marker words)."""
+    from m3spark.ops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    """Document fingerprinting (normalized-content digest)."""
+    from m3spark.ops import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "doc_id", "text")
+
+
+# ---- rows-only scale ops (no SQL equivalent) ----
+
+
+def q_minhash_pairs_documents(spark, sf_dir):
+    """MinHash+LSH candidate pairs (banded signatures) — the dedup scale
+    path; xxhash64-based, not SQL-expressible in DuckDB."""
+    from m3spark.ops import minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def q_simhash_documents(spark, sf_dir):
+    from m3spark.ops import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+def q_lsh_ann_embeddings(spark, sf_dir):
+    """Random-hyperplane LSH near-neighbor pairs — similarity scale path."""
+    from m3spark.ops import lsh_ann_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return lsh_ann_pairs(emb, "embedding", 64, n_planes=10, min_cosine=0.5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column decode plumbing (Arrow-batched; stub decoder)."""
+    from m3spark.ops import decode_binary_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return decode_binary_features(docs, "payload", "doc_id")
+
+
+def q_pages_validate(spark, sf_dir):
+    """Flagship north-star pipeline on the synthetic pages table:
+    generate → columnar validate → per-partition verdicts."""
+    from m3spark.pages import generate_pages
+    from m3spark.pipeline import validate_pages
+
+    pages = generate_pages(spark, 20_000)
+    res = validate_pages(pages)
+    return res["partition_verdicts"].orderBy("partition_key")
+
+
+def q_hll_stats_events(spark, sf_dir):
+    """Per-partition stats with approximate distinct (HLL) — scale path
+    for §2.10 stats (approx → rows-only check)."""
+    from m3spark.checks import column_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return column_stats(ev, ["user_id", "event_type"],
+                        group_by="event_type", distinct="approx")
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: columnar keyword validation over sf0.001 documents."""
+    return q_val_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "val_documents": q_val_documents,
+        "val_lineitem": q_val_lineitem,
+        "val_events_props": q_val_events_props,
+        "uniqueness_documents": q_uniqueness_documents,
+        "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
+        "ref_lineitem_orphans": q_ref_lineitem_orphans,
+        "stats_documents": q_stats_documents,
+        "stats_events_daily": q_stats_events_daily,
+        "drift_events_psi": q_drift_events_psi,
+        "drift_events_ks": q_drift_events_ks,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_jaccard_documents": q_dedup_jaccard_documents,
+        "sim_topk_embeddings": q_sim_topk_embeddings,
+        "text_tokens_documents": q_text_tokens_documents,
+        "text_quality_documents": q_text_quality_documents,
+        "text_langid_documents": q_text_langid_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        # rows-only scale ops (no oracle entry)
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_documents": q_simhash_documents,
+        "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "multimodal_features": q_multimodal_features,
+        "pages_validate": q_pages_validate,
+        "hll_stats_events": q_hll_stats_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "val_documents": """
+            WITH d AS (SELECT * FROM documents)
+            SELECT doc_id, keyword, schema_path FROM (
+              SELECT doc_id, 'required' AS keyword, '/required' AS schema_path
+                FROM d WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
+                          OR source IS NULL OR n_chars IS NULL
+              UNION ALL
+              SELECT doc_id, 'minimum', '/properties/doc_id/minimum'
+                FROM d WHERE doc_id < 0
+              UNION ALL
+              SELECT doc_id, 'enum', '/properties/lang/enum'
+                FROM d WHERE lang IS NOT NULL
+                         AND lang NOT IN ('en','de','fr','es')
+              UNION ALL
+              SELECT doc_id, 'pattern', '/properties/source/pattern'
+                FROM d WHERE source IS NOT NULL
+                         AND NOT regexp_matches(source, '^src[0-9]$')
+              UNION ALL
+              SELECT doc_id, 'minimum', '/properties/n_chars/minimum'
+                FROM d WHERE n_chars < 50
+              UNION ALL
+              SELECT doc_id, 'maximum', '/properties/n_chars/maximum'
+                FROM d WHERE n_chars > 500
+              UNION ALL
+              SELECT doc_id, 'minLength', '/properties/text/minLength'
+                FROM d WHERE text IS NOT NULL AND length(text) < 1
+            ) ORDER BY doc_id, keyword
+        """,
+        "val_lineitem": """
+            WITH li AS (SELECT l_orderkey::varchar || '-' ||
+                               l_linenumber::varchar AS line_id, *
+                        FROM lineitem)
+            SELECT line_id, keyword FROM (
+              SELECT line_id, 'exclusiveMaximum' AS keyword
+                FROM li WHERE l_quantity IS NOT NULL
+                          AND NOT (l_quantity < 50)
+              UNION ALL
+              SELECT line_id, 'multipleOf'
+                FROM li WHERE l_discount IS NOT NULL
+                  AND NOT ((l_discount::DECIMAL(38,12) % 0.02::DECIMAL(38,12))
+                           = 0)
+              UNION ALL
+              SELECT line_id, 'maximum'
+                FROM li WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)
+            ) ORDER BY line_id, keyword
+        """,
+        "val_events_props": """
+            SELECT event_id,
+                   COALESCE(
+                     k IS NOT NULL AND k >= 0 AND k < 50, FALSE) AS valid
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                  FROM events)
+        """,
+        "uniqueness_documents": """
+            SELECT lang, source, COUNT(*)::BIGINT AS dup_count
+            FROM documents GROUP BY lang, source HAVING COUNT(*) > 1
+        """,
+        "ref_orders_without_lineitems": """
+            SELECT o_orderkey FROM orders o
+            WHERE o_orderkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "ref_lineitem_orphans": """
+            SELECT l_partkey, l_orderkey FROM lineitem l
+            WHERE l_partkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        """,
+        "stats_documents": """
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   ROUND(AVG(n_chars), 4) AS avg_chars,
+                   COUNT(DISTINCT source)::BIGINT AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "stats_events_daily": """
+            SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS n_events,
+                   MIN(value) AS min_value, MAX(value) AS max_value,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY CAST(ts AS DATE)
+        """,
+        "drift_events_psi": """
+            WITH counts AS (
+              SELECT event_type,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                              ELSE 0 END) AS c_a,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0
+                              ELSE 1 END) AS c_b
+              FROM events GROUP BY event_type),
+            tot AS (SELECT SUM(c_a) AS t_a, SUM(c_b) AS t_b FROM counts)
+            SELECT ROUND(SUM((c_a/t_a - c_b/t_b) * LN((c_a/t_a)/(c_b/t_b))),
+                         6) AS psi
+            FROM counts, tot
+        """,
+        "drift_events_ks": """
+            WITH h AS (
+              SELECT FLOOR(value / 25)::BIGINT AS bucket,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1
+                              ELSE 0 END) AS c_a,
+                     SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0
+                              ELSE 1 END) AS c_b
+              FROM events GROUP BY 1),
+            tot AS (SELECT SUM(c_a) AS t_a, SUM(c_b) AS t_b FROM h),
+            ecdf AS (
+              SELECT SUM(c_a) OVER (ORDER BY bucket) / t_a AS cum_a,
+                     SUM(c_b) OVER (ORDER BY bucket) / t_b AS cum_b
+              FROM h, tot)
+            SELECT ROUND(MAX(ABS(cum_a - cum_b)), 6) AS ks FROM ecdf
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(COALESCE(text, CHR(0))) AS content_hash,
+                   COUNT(*)::BIGINT AS dup_count
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_jaccard_documents": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, i, 8) AS shingle
+              FROM documents,
+                   UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
+                     AS t(i)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*)::BIGINT AS inter_count
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, inter_count,
+                   ROUND(inter_count /
+                         (sa.sz + sb.sz - inter_count), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter_count * 25 >= (sa.sz + sb.sz - inter_count) * 3
+        """,
+        "sim_topk_embeddings": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_dot_product(embedding::DOUBLE[], qv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(qv, qv))) AS sim
+              FROM embeddings, q)
+            SELECT vec_id, ROUND(sim, 6) AS cosine
+            FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "text_tokens_documents": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::INT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   len(list_distinct(string_split(text, ' ')))::INT
+                     AS distinct_tokens,
+                   ROUND(length(replace(text, ' ', '')) /
+                         len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "text_quality_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     LEAST(length(text) / 500.0, 1.0) AS length_score,
+                     len(list_distinct(string_split(text, ' '))) /
+                       len(string_split(text, ' '))::DOUBLE AS diversity,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is',
+                                    'it','that','was'))) /
+                       len(string_split(text, ' '))::DOUBLE AS stop_ratio
+              FROM documents)
+            SELECT doc_id, ROUND(length_score, 6) AS length_score,
+                   ROUND(diversity, 6) AS diversity,
+                   ROUND(stop_ratio, 6) AS stopword_ratio,
+                   ROUND(0.5 * length_score + 0.4 * diversity +
+                         0.1 * stop_ratio, 6) AS quality_score
+            FROM t
+        """,
+        "text_langid_documents": """
+            WITH m AS (
+              SELECT doc_id, text,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('der','die','und','nicht','das')))
+                       AS de_hits,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('le','la','les','est','une'))) AS fr_hits,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('el','los','las','una','que'))) AS es_hits
+              FROM documents)
+            SELECT doc_id,
+                   CASE
+                     WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+                       THEN 'zh'
+                     WHEN regexp_matches(text, '[\\x{3040}-\\x{30ff}]')
+                       THEN 'ja'
+                     WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]')
+                       THEN 'ru'
+                     WHEN es_hits > de_hits AND es_hits > fr_hits
+                          AND es_hits > 0 THEN 'es'
+                     WHEN fr_hits > de_hits AND fr_hits > 0 THEN 'fr'
+                     WHEN de_hits > 0 THEN 'de'
+                     ELSE 'en'
+                   END AS predicted_lang
+            FROM m
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                             'g')), 1, 16) AS fingerprint
+            FROM documents
+        """,
+    }

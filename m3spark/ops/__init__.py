@@ -1,0 +1,14 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's validation surface: deduplication, similarity
+search, text analysis, and multimodal-column plumbing — the operations a
+100 TB web-corpus pipeline needs next to schema validation.
+"""
+
+from .dedup import (  # noqa: F401
+    char_shingles, exact_duplicates, jaccard_pairs, minhash_pairs,
+    minhash_signatures, simhash,
+)
+from .similarity import cosine_topk, lsh_ann_pairs  # noqa: F401
+from .text import fingerprint, lang_id, quality, token_stats  # noqa: F401
+from .multimodal import decode_binary_features  # noqa: F401

@@ -1,0 +1,157 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All shuffle-aware by construction:
+
+- exact: one keyed count (map-side combinable).
+- Jaccard: shingle explode → self-join **on the shingle** (co-partitioned
+  by the join key, so only same-shingle rows meet) → per-pair intersection
+  counts.  At scale, band the shingles (MinHash) first so the join is on
+  LSH buckets, not raw shingles.
+- MinHash: per-doc signature via xxhash64 with K fixed salts (one pass,
+  no shuffle), banded into LSH buckets; candidate pairs only join within
+  a bucket.
+- SimHash: token-hash bit-vote, one pass, no shuffle.
+
+Everything stays in JVM expressions (xxhash64/transform/aggregate) —
+no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, cols: list[str],
+                     hash_col: str = "content_hash") -> DataFrame:
+    """Groups of rows identical on ``cols``: (content_hash, dup_count),
+    dup_count > 1.  One shuffle, partial-aggregated map-side."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"),
+                                               F.lit("\x00"))
+                                    for c in cols]))
+    return (df.select(h.alias(hash_col))
+              .groupBy(hash_col)
+              .agg(F.count(F.lit(1)).alias("dup_count"))
+              .filter(F.col("dup_count") > 1))
+
+
+def char_shingles(text_col, k: int = 8, stride: int = 4):
+    """Distinct character k-shingles sampled every ``stride`` chars, as an
+    array Column — pure JVM (sequence/transform), no UDF."""
+    n = F.length(text_col) - (k - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+            lambda i: F.substring(text_col, i, k)))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 8, stride: int = 4,
+                  threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+    """Document pairs with shingle-Jaccard >= num/den (integer-ratio
+    threshold so the cutoff is exact, no float boundary).
+
+    Returns (id_a, id_b, inter_count, size_a, size_b, jaccard) with
+    id_a < id_b.  The pair-generation join is keyed on the shingle, so
+    Spark co-partitions both sides; frequent shingles fan out — at scale
+    cap them (they carry no dedup signal) or switch to minhash_pairs.
+    """
+    sh = (df.select(F.col(id_col).alias("_id"),
+                    F.explode(char_shingles(F.col(text_col), k, stride))
+                     .alias("shingle"))
+            .distinct())
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter_count")))
+    out = (inter
+           .join(sizes.select(F.col("_id").alias("id_a"),
+                              F.col("sz").alias("size_a")), "id_a")
+           .join(sizes.select(F.col("_id").alias("id_b"),
+                              F.col("sz").alias("size_b")), "id_b"))
+    union = F.col("size_a") + F.col("size_b") - F.col("inter_count")
+    return (out.where(F.col("inter_count") * threshold_den
+                      >= union * threshold_num)
+               .select("id_a", "id_b", "inter_count", "size_a", "size_b",
+                       F.round(F.col("inter_count") / union, 6)
+                        .alias("jaccard")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, k: int = 8,
+                       stride: int = 4) -> DataFrame:
+    """(id, signature: array<bigint>) — min over shingles of
+    xxhash64(shingle, salt_i) per salt.  Single pass, zero shuffle."""
+    shingles = char_shingles(F.col(text_col), k, stride)
+
+    def _salted(i):
+        # closure factory: pyspark HOFs bind extra lambda params to lambda
+        # variables, so per-salt constants must be captured via closure
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(*[F.array_min(F.transform(shingles, _salted(i)))
+                    for i in range(num_hashes)])
+    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+
+
+def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 32, bands: int = 8,
+                  k: int = 8, stride: int = 4) -> DataFrame:
+    """LSH candidate pairs: signatures banded into ``bands`` buckets;
+    pairs sharing any band bucket are candidates, scored by signature
+    agreement (estimated Jaccard).  Join is on (band, bucket-hash) —
+    bounded fan-out, scales to billions of docs."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, stride)
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.slice(F.col("signature"),
+                                    b * rows_per_band + 1, rows_per_band)
+                            .cast("string")).alias("bucket"))
+        for b in range(bands)]
+    exploded = (sigs.select("_id", "signature",
+                            F.explode(F.array(*band_cols)).alias("bb"))
+                    .select("_id", "signature",
+                            F.col("bb.band").alias("band"),
+                            F.col("bb.bucket").alias("bucket")))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.col("a.signature").alias("sig_a"),
+                     F.col("b.signature").alias("sig_b"))
+             .distinct())
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+        lambda m: m))
+    return cand.select(
+        "id_a", "id_b",
+        F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 32) -> DataFrame:
+    """(id, simhash: bigint) — per-token xxhash64, bit-vote, sign fold.
+    Near-dups differ in few bits (compare via bit_count(a ^ b)).
+    Single pass, zero shuffle, pure JVM."""
+    one = F.lit(1).cast("long")
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _vote(b):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+
+    votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
+    fp = F.lit(0).cast("long")
+    for b, v in enumerate(votes):
+        fp = fp.bitwiseOR(F.when(v > 0, F.shiftleft(one, b))
+                           .otherwise(F.lit(0).cast("long")))
+    return df.select(F.col(id_col).alias("_id"), fp.alias("simhash"))

@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run as JVM higher-order functions (zip_with/aggregate);
+  top-k is a single ORDER BY ... LIMIT k, which Spark executes as
+  per-partition TakeOrdered + driver merge of k rows (no full sort
+  shuffle) — linear scan, scales with executors.
+- ``lsh_ann_pairs``: random-hyperplane LSH — each vector hashed to a
+  signed bit bucket; candidate pairs only join within a bucket.  The
+  scale path: the join key is the bucket, so comparisons are local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(vec_col, query: list[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = sum(x * x for x in query) ** 0.5
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``; deterministic
+    tie-break on id.  Returns (id, cosine)."""
+    sim = cosine_similarity(F.col(vec_col), query).alias("_sim")
+    return (df.select(F.col(id_col), sim)
+              .orderBy(F.col("_sim").desc(), F.col(id_col))
+              .limit(k)
+              .select(id_col, F.round(F.col("_sim"), 6).alias("cosine")))
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane (pure function of
+    seed — no RNG state, reproducible across runs/executors)."""
+    import math
+    out = []
+    x = seed * 2654435761 % (2**32)
+    for i in range(dim):
+        x = (1103515245 * (x + i) + 12345) % (2**31)
+        out.append(math.cos(x))  # in [-1, 1], deterministic
+    return out
+
+
+def lsh_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 42):
+    """Signed random-projection bucket id (bigint Column)."""
+    one = F.lit(1).cast("long")
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, seed + p)])
+        bit = F.when(_dot(vec_col, plane) > 0,
+                     F.shiftleft(one, p)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,
+                  id_col: str = "vec_id", n_planes: int = 12,
+                  min_cosine: float = 0.8, seed: int = 42) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by random hyperplanes,
+    compare only within buckets, keep cosine >= min_cosine.
+    Returns (id_a, id_b, cosine)."""
+    with_bucket = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"))
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    pair_cos = _dot(F.col("a._v"), F.col("b._v")) / (
+        _norm(F.col("a._v")) * _norm(F.col("b._v")))
+    return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+                   & (F.col("a._id") < F.col("b._id")))
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"),
+                     F.round(pair_cos, 6).alias("cosine"))
+             .where(F.col("cosine") >= min_cosine))

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry in Spark and its oracle_sql() in DuckDB at sf0.01, compare
+row-count, column names, and an order-insensitive value hash."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}" if v == v else "nan"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, date):
+        return v.isoformat()
+    return str(v)
+
+
+def value_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from m3spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = sys.argv[1:] or list(qs)
+    n_fail = 0
+    for name in only:
+        if name not in qs:
+            continue
+        try:
+            sdf = qs[name](spark, SF)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows, cols={scols}")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={scols} duck={dcols}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            hs = value_hash(srows, scols)
+            hd = value_hash(drows, dcols)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show first differing normalized lines
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s)
+                            for r in srows)
+                ld = sorted("\x1f".join(norm_cell(r[i]) for i in order_d)
+                            for r in drows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  spark: {a[:120]}")
+                        problems.append(f"  duck : {b[:120]}")
+                        break
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(problems[:3]))
+            for p in problems[3:]:
+                print(p)
+        else:
+            print(f"OK   {name}: {len(srows)} rows")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
