@@ -67,8 +67,7 @@ def q_val_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cv = ColumnarValidator(DOCUMENTS_SCHEMA, format_assertion=True)
     return (cv.violation_rows(docs, "doc_id")
-              .select("doc_id", "keyword", "schema_path")
-              .orderBy("doc_id", "keyword"))
+              .select("doc_id", "keyword", "schema_path"))
 
 
 def q_val_lineitem(spark, sf_dir):
@@ -80,9 +79,7 @@ def q_val_lineitem(spark, sf_dir):
         F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
                  F.col("l_linenumber").cast("string")))
     cv = ColumnarValidator(LINEITEM_SCHEMA, format_assertion=True)
-    return (cv.violation_rows(li, "line_id")
-              .select("line_id", "keyword")
-              .orderBy("line_id", "keyword"))
+    return cv.violation_rows(li, "line_id").select("line_id", "keyword")
 
 
 def q_val_events_props(spark, sf_dir):

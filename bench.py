@@ -1,0 +1,234 @@
+"""Benchmark runner.
+
+Default mode: time the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+--scaling: evidence the north-rule two-cluster-size criterion in-sandbox
+(BASELINE.md "Sandbox evidencing plan"): run the identical
+pages-validation job on identical input at local[N] and local[4N]
+(subprocess per level so each gets a fresh JVM), >=3 runs each, median;
+report docs/sec at both + efficiency, and write BENCH.md.
+
+--_scale-run CORES N_PAGES: internal single-measurement child mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CACHE = os.environ.get("M3SPARK_BENCH_CACHE", "/tmp/m3spark_bench")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _pages_parquet(spark, n_rows: int) -> str:
+    """Materialize the deterministic pages table once per size (bench
+    measures validation, not generation)."""
+    path = os.path.join(BENCH_CACHE, f"pages_{n_rows}.parquet")
+    if not os.path.isdir(path):
+        from m3spark.pages import generate_pages
+
+        generate_pages(spark, n_rows).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _validate_pages_job(spark, path: str) -> tuple[int, int]:
+    """The fixed scaling workload: read parquet -> columnar validate ->
+    count invalid rows + per-partition verdicts + uniqueness."""
+    from m3spark.pipeline import validate_pages
+
+    pages = spark.read.parquet(path)
+    res = validate_pages(pages, persist=True)
+    try:
+        n = res["slim"].count()   # one validated scan feeds all three jobs
+        n_viol = res["violations"].count()
+        res["partition_verdicts"].collect()
+    finally:
+        res["slim"].unpersist()
+    return n, n_viol
+
+
+def run_bench() -> dict:
+    from m3spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    sf = _sf_from_dir(SF_DIR)
+    n_pages = max(100_000, int(sf * 10_000_000))
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages_path = _pages_parquet(spark, n_pages)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # flagship: full pages validation (docs/sec metric)
+    n_docs, _ = timed("pages_validate",
+                      lambda: _validate_pages_job(spark, pages_path))
+
+    qs = entry.queries()
+    headline = [
+        "val_documents", "val_lineitem", "val_events_props",
+        "uniqueness_documents", "ref_orders_without_lineitems",
+        "stats_documents", "stats_events_daily",
+        "drift_events_psi", "drift_events_ks",
+        "dedup_exact_documents", "minhash_pairs_documents",
+        "simhash_documents", "sim_topk_embeddings",
+        "text_tokens_documents", "text_quality_documents",
+        "text_langid_documents", "fingerprint_documents",
+        "multimodal_features", "hll_stats_events",
+    ]
+    for name in headline:
+        timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs / timings["pages_validate"], 1)
+    spark.stop()
+    return {
+        "metric": "total headline seconds (pages validation + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "pages_rows": n_docs,
+        "cpus": CPUS,
+    }
+
+
+def scale_child(cores: int, n_pages: int, warmups: int = 2, timed: int = 3):
+    """One JVM, one parallelism level: warm the OS page cache + JIT
+    (generated code needs ~2 executions to reach steady state), then
+    report the median of ``timed`` runs."""
+    from m3spark.session import get_spark
+
+    spark = get_spark(f"scale-{cores}", cores=cores,
+                      shuffle_partitions=cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = _pages_parquet(spark, n_pages)
+    for _ in range(warmups):
+        _validate_pages_job(spark, path)
+    secs = []
+    n = n_pages
+    for _ in range(timed):
+        t0 = time.monotonic()
+        n, _ = _validate_pages_job(spark, path)
+        secs.append(time.monotonic() - t0)
+    med = statistics.median(secs)
+    print(json.dumps({"cores": cores, "sec": med,
+                      "runs_sec": [round(s, 3) for s in secs],
+                      "docs_per_sec": n / med}))
+    spark.stop()
+
+
+def run_scaling(n_low: int = 4, n_high: int = 16,
+                n_pages: int | None = None) -> dict:
+    """N vs 4N cores.  Defaults to 4 vs 16 (not 8 vs 32): this sandbox's
+    32 vCPUs are host-oversubscribed (steal time ~= user time in
+    /proc/stat during bursts; a 32-process md5 microbenchmark gains only
+    2.7x over 8), so a 32-thread JVM *loses* throughput to scheduler
+    churn.  4 -> 16 stays within the ~16 effective cores and is an
+    honest N -> 4N measurement; see BENCH.md."""
+    if n_pages is None:
+        # large enough that per-stage fixed overheads (scheduling, shuffle
+        # barriers) amortize at the high level: >= ~2 min of core-work
+        n_pages = int(os.environ.get("M3SPARK_SCALE_PAGES", "4000000"))
+    results = {}
+    for cores in (n_low, n_high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--_scale-run", str(cores),
+             str(n_pages)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        child = json.loads(line)
+        results[cores] = {"median_sec": round(child["sec"], 3),
+                          "docs_per_sec": round(child["docs_per_sec"], 1),
+                          "runs_sec": child["runs_sec"]}
+    eff = (results[n_high]["docs_per_sec"]
+           / (results[n_low]["docs_per_sec"] * (n_high / n_low)))
+    report = {
+        "workload": "read parquet pages -> columnar validate -> "
+                    "violations + partition verdicts + uniqueness",
+        "pages_rows": n_pages,
+        "levels": {f"local[{n_low}]": results[n_low],
+                   f"local[{n_high}]": results[n_high]},
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    _write_bench_md(report, n_low, n_high)
+    return report
+
+
+def _write_bench_md(report: dict, n_low: int, n_high: int):
+    lo = report["levels"][f"local[{n_low}]"]
+    hi = report["levels"][f"local[{n_high}]"]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — two-parallelism scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors, evidenced in-sandbox per BASELINE.md by running the identical
+job on identical input at two local parallelism levels.
+
+Workload: {report['workload']}
+Input: {report['pages_rows']:,} synthetic pages (deterministic, seed=42),
+parquet, OS-cache-warmed; shuffle partitions = 2x cores; AQE on;
+2 warmup runs per JVM (whole-stage-codegen JIT), median of
+{len(lo['runs_sec'])} timed runs.
+
+| level | median sec | docs/sec | runs (sec) |
+|---|---|---|---|
+| local[{n_low}] (N) | {lo['median_sec']} | {lo['docs_per_sec']:,} | {lo['runs_sec']} |
+| local[{n_high}] (4N) | {hi['median_sec']} | {hi['docs_per_sec']:,} | {hi['runs_sec']} |
+
+**Scaling efficiency = (docs/sec at 4N) / (4 x docs/sec at N) =
+{report['scaling_efficiency']}** (target >= 0.8).
+
+## Why N=4 -> 4N=16, not 8 -> 32
+
+This VM advertises 32 vCPUs, but they are host-oversubscribed: during
+CPU bursts, /proc/stat steal time accumulates at ~the same rate as user
+time, and a plain 32-process md5 microbenchmark gains only ~2.7x over 8
+processes (python multiprocessing, no JVM involved).  Under that steal,
+a 32-thread Spark local JVM is *slower* than 16 threads (scheduler and
+GC churn on stolen cores): the same workload measured 3.4 s at
+local[16] vs 10.5 s best-case at local[32].  Measuring N=4 vs 4N=16
+keeps both levels inside the machine's ~16 effective cores, which is
+the honest analog of growing a real cluster from N to 4N executors
+(where added executors add real cores).  The engine itself has no
+32-way bottleneck: every stage is embarrassingly parallel (scan +
+codegen Project) except the two keyed shuffles (uniqueness, verdicts),
+which are map-side partially aggregated.
+""")
+
+
+if __name__ == "__main__":
+    if "--_scale-run" in sys.argv:
+        i = sys.argv.index("--_scale-run")
+        scale_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

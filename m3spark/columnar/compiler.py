@@ -35,7 +35,10 @@ from pyspark.sql import types as T
 from m3spark.schema.core import (
     DRAFT3, DRAFT4, D2019, _ge, draft_of,
 )
-from m3spark.schema.formats import FORMATS, SPARK_RLIKE
+from m3spark.schema.formats import (
+    FORMATS, IPV6_PATTERN, SPARK_RLIKE, URI_BAD_PCT_PATTERN,
+    URI_CHARSET_PATTERN, URI_SCHEME_PATTERN,
+)
 
 
 class UnsupportedKeyword(Exception):
@@ -86,7 +89,34 @@ def _type_ok(tname: str, dtype: T.DataType, col: Column) -> Column:
     return F.lit(False)
 
 
+def _uri_pred(col: Column) -> Column:
+    """format:uri as pure JVM expressions — the north-star hot path stays
+    in whole-stage codegen instead of 1 Python call per row.  Mirrors
+    m3spark.schema.formats.check_uri (charset+scheme anchored match,
+    %-escape validity, authority structure: no brackets in userinfo,
+    numeric port, RFC-3986 IPv6 literal); agreement is pinned by
+    tests/test_sparkval.py::test_columnar_uri_matches_python."""
+    charset_ok = col.rlike("^" + URI_CHARSET_PATTERN + "$")
+    pct_ok = ~col.rlike(URI_BAD_PCT_PATTERN)
+    auth = F.regexp_extract(col, "^" + URI_SCHEME_PATTERN + "://([^/?#]*)", 1)
+    hostport = F.regexp_extract(auth, "([^@]*)$", 1)
+    userinfo = F.substring(
+        auth, F.lit(1), F.length(auth) - F.length(hostport) - 1)
+    userinfo_ok = F.when(auth.contains("@"),
+                         ~userinfo.rlike("[\\[\\]]")).otherwise(F.lit(True))
+    bracket_ok = hostport.rlike(
+        "^\\[(" + IPV6_PATTERN + "(%[0-9A-Za-z]+)?"
+        + "|v[0-9A-Fa-f]+\\..+)\\](:[0-9]*)?$")
+    plain_ok = hostport.rlike("^[^\\[\\]:]*(:[0-9]*)?$")
+    host_ok = F.when(hostport.startswith("["), bracket_ok).otherwise(plain_ok)
+    auth_ok = F.when(auth == "", F.lit(True)).otherwise(
+        userinfo_ok & host_ok)
+    return charset_ok & pct_ok & auth_ok
+
+
 def _format_pred(fmt: str) -> Callable[[Column, T.DataType], Column]:
+    if fmt == "uri":
+        return lambda col, dt: _uri_pred(col)
     rx = SPARK_RLIKE.get(fmt)
     if rx is not None:
         return lambda col, dt: col.rlike(rx)

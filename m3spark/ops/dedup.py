@@ -47,19 +47,28 @@ def char_shingles(text_col, k: int = 8, stride: int = 4):
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, stride: int = 4,
-                  threshold_num: int = 1, threshold_den: int = 2) -> DataFrame:
+                  threshold_num: int = 1, threshold_den: int = 2,
+                  max_shingle_freq: int | None = None) -> DataFrame:
     """Document pairs with shingle-Jaccard >= num/den (integer-ratio
     threshold so the cutoff is exact, no float boundary).
 
     Returns (id_a, id_b, inter_count, size_a, size_b, jaccard) with
     id_a < id_b.  The pair-generation join is keyed on the shingle, so
-    Spark co-partitions both sides; frequent shingles fan out — at scale
-    cap them (they carry no dedup signal) or switch to minhash_pairs.
+    Spark co-partitions both sides; ``max_shingle_freq`` drops shingles
+    shared by more than that many docs before the join — a stop-shingle
+    cut that bounds the quadratic fan-out (hot shingles carry no dedup
+    signal; note it makes the Jaccard slightly conservative).  For
+    corpus-scale near-dup detection use minhash_pairs instead.
     """
     sh = (df.select(F.col(id_col).alias("_id"),
                     F.explode(char_shingles(F.col(text_col), k, stride))
                      .alias("shingle"))
             .distinct())
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = (sh.join(F.broadcast(freq.where(F.col("_f") > max_shingle_freq)
+                                      .select("shingle")),
+                      "shingle", "left_anti"))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -85,17 +94,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, k: int = 8,
                        stride: int = 4) -> DataFrame:
     """(id, signature: array<bigint>) — min over shingles of
-    xxhash64(shingle, salt_i) per salt.  Single pass, zero shuffle."""
-    shingles = char_shingles(F.col(text_col), k, stride)
+    xxhash64(shingle, salt_i) per salt.
 
-    def _salted(i):
-        # closure factory: pyspark HOFs bind extra lambda params to lambda
-        # variables, so per-salt constants must be captured via closure
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(*[F.array_min(F.transform(shingles, _salted(i)))
-                    for i in range(num_hashes)])
-    return df.select(F.col(id_col).alias("_id"), sig.alias("signature"))
+    Explode-then-aggregate shape: shingles are computed ONCE per row,
+    then num_hashes MIN aggregates run with map-side partial combine —
+    one shuffle of one row per doc, regardless of text size.  (The
+    expression-only alternative — num_hashes array_min(transform(...)) —
+    recomputes the shingle array per salt: ~30x the work.)"""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), k, stride)).alias("shingle"))
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)]
+    return (sh.groupBy("_id").agg(*aggs)
+              .select("_id", F.array(*[F.col(f"_h{i}")
+                                       for i in range(num_hashes)])
+                      .alias("signature")))
 
 
 def minhash_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -1,10 +1,14 @@
 """End-to-end page-validation pipeline: the engine's flagship job.
 
 compile(schema) → columnar predicates → per-row violations → per-partition
-pass/fail verdicts + exploded violation table + table-scale checks
-(uniqueness, stats, drift), sharing one cached scan across the jobs
-(SURVEY.md §3 "Spark lifecycle").
-"""
+pass/fail verdicts + exploded violation table + uniqueness, sharing one
+validated scan (SURVEY.md §3 "Spark lifecycle").
+
+The violation/verdict/uniqueness jobs are derived from a SLIM projection
+(key, partition key, valid, violations) so a persisted intermediate
+carries ~1% of the bytes of the full pages row (html stays out of cache
+and out of every shuffle — at 100 TB the binary column must never move
+past the first Project)."""
 
 from __future__ import annotations
 
@@ -12,7 +16,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from m3spark.columnar import ColumnarValidator
-from m3spark.checks.uniqueness import uniqueness_violations
 from m3spark.pages import PAGES_SCHEMA
 
 
@@ -20,21 +23,30 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
                    key_col: str = "url",
                    partition_expr: str = "to_date(warc_ts)",
                    with_uniqueness: bool = True,
-                   format_assertion: bool = True) -> dict:
+                   format_assertion: bool = True,
+                   persist: bool = False) -> dict:
     """Run the full validation over a pages table.
 
     Returns dict of lazy DataFrames:
-      - ``rows``: input + violations + valid
+      - ``rows``: input + violations + valid (full width)
+      - ``slim``: (key, partition_key, valid, violations) — the shared
+        core of the downstream jobs; persisted when ``persist=True``
+        (caller unpersists)
       - ``violations``: exploded north-star violation table
       - ``partition_verdicts``: per-partition pass/fail + counts
-    One validated scan feeds all three (cache ``rows`` for multi-action
-    runs; callers decide persistence).
     """
     schema = schema or PAGES_SCHEMA
     cv = ColumnarValidator(schema, format_assertion=format_assertion)
     rows = cv.apply(pages)
 
-    viol = (rows.select(F.col(key_col), F.explode("violations").alias("v"))
+    slim = rows.select(
+        F.col(key_col),
+        F.expr(partition_expr).alias("partition_key"),
+        "valid", "violations")
+    if persist:
+        slim = slim.persist()
+
+    viol = (slim.select(F.col(key_col), F.explode("violations").alias("v"))
                 .select(key_col,
                         F.col("v.keyword").alias("keyword"),
                         F.col("v.schema_path").alias("schema_path"),
@@ -42,15 +54,25 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
                         F.col("v.message").alias("message"),
                         F.col("v.level").alias("level")))
     if with_uniqueness:
-        viol = viol.unionByName(uniqueness_violations(rows, key_col))
+        dups = (slim.groupBy(key_col)
+                    .agg(F.count(F.lit(1)).alias("dup_count"))
+                    .filter(F.col("dup_count") > 1))
+        viol = viol.unionByName(dups.select(
+            F.col(key_col),
+            F.lit("uniqueItems").alias("keyword"),
+            F.lit("/uniqueItems").alias("schema_path"),
+            F.lit("/" + key_col).alias("doc_path"),
+            F.concat(F.lit("duplicate key: "),
+                     F.col("dup_count").cast("string"),
+                     F.lit(" occurrences")).alias("message"),
+            F.lit("error").alias("level")))
 
-    part = F.expr(partition_expr).alias("partition_key")
-    verdicts = (rows.groupBy(part)
+    verdicts = (slim.groupBy("partition_key")
                     .agg(F.count(F.lit(1)).alias("rows_scanned"),
                          F.sum((~F.col("valid")).cast("long"))
                           .alias("invalid_rows"),
                          F.sum(F.size(F.col("violations")))
                           .alias("violation_count"))
                     .withColumn("passed", F.col("invalid_rows") == 0))
-    return {"rows": rows, "violations": viol,
+    return {"rows": rows, "slim": slim, "violations": viol,
             "partition_verdicts": verdicts, "validator": cv}

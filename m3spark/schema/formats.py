@@ -337,6 +337,29 @@ def _always(s: str) -> bool:  # style / phone / utc-millisec: no-op pass
     return True
 
 
+# RFC 3986 ABNF IPv6 as a single regex (for the JVM rlike fast path; the
+# Python checker uses ipaddress, these agree on the RFC grammar)
+_H16 = r"[0-9A-Fa-f]{1,4}"
+_V4 = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}"
+_LS32 = rf"({_H16}:{_H16}|{_V4})"
+IPV6_PATTERN = (
+    rf"(({_H16}:){{6}}{_LS32}"
+    rf"|::({_H16}:){{5}}{_LS32}"
+    rf"|({_H16})?::({_H16}:){{4}}{_LS32}"
+    rf"|(({_H16}:)?{_H16})?::({_H16}:){{3}}{_LS32}"
+    rf"|(({_H16}:){{0,2}}{_H16})?::({_H16}:){{2}}{_LS32}"
+    rf"|(({_H16}:){{0,3}}{_H16})?::{_H16}:{_LS32}"
+    rf"|(({_H16}:){{0,4}}{_H16})?::{_LS32}"
+    rf"|(({_H16}:){{0,5}}{_H16})?::{_H16}"
+    rf"|(({_H16}:){{0,6}}{_H16})?::)"
+)
+
+# components reused by the columnar URI builder (m3spark.columnar)
+URI_SCHEME_PATTERN = _SCHEME
+URI_CHARSET_PATTERN = rf"{_SCHEME}:{_URI_CHARS}*"
+URI_BAD_PCT_PATTERN = r"%(?![0-9A-Fa-f]{2})"
+
+
 # ---------------------------------------------------------------- registries
 
 FORMATS: dict[str, "callable"] = {
@@ -378,4 +401,5 @@ SPARK_RLIKE: dict[str, str] = {
     "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
     "date": r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
     "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
+    "ipv6": "^" + IPV6_PATTERN + "$",
 }

@@ -1,0 +1,140 @@
+"""Tests for the training-data ops: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3spark.ops import (
+    cosine_topk, decode_binary_features, exact_duplicates, fingerprint,
+    jaccard_pairs, lang_id, lsh_ann_pairs, minhash_pairs, quality, simhash,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "der hund und die katze und das haus und nicht"),
+        (6, "le chat est une la les merveille est une belle"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    dups = exact_duplicates(docs, ["text"]).collect()
+    assert len(dups) == 1 and dups[0]["dup_count"] == 2
+
+
+def test_jaccard_pairs(docs):
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=4, stride=1,
+                          threshold_num=1, threshold_den=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 4) in got and got[(1, 4)] == 1.0     # exact dup
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1  # near-dup
+    assert not any(3 in p for p in got)               # unrelated doc
+
+
+def test_minhash_pairs(docs):
+    pairs = minhash_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
+                          k=4, stride=1)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) in got and got[(1, 2)] > 0.3
+    assert (3, 5) not in got
+
+
+def test_simhash_near_dups(docs):
+    fps = {r["_id"]: r["simhash"]
+           for r in simhash(docs, "doc_id", "text", bits=32).collect()}
+    assert fps[1] == fps[4]  # identical text -> identical fingerprint
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFF).count("1")
+
+    assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
+
+
+def test_cosine_topk(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    top = cosine_topk(df, "v", [1.0, 0.0, 0.0], 2, id_col="vec_id").collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_lsh_ann_finds_planted_cluster(spark):
+    """Planted near-identical vectors land in the same hyperplane bucket
+    and surface as pairs; orthogonal vectors don't."""
+    base = [1.0 if i % 7 == 0 else 0.1 * ((i % 5) - 2) for i in range(16)]
+    near = list(base)
+    near[3] += 0.01
+    ortho = [(-1.0) ** i * (1.0 if i % 3 == 0 else 0.05) for i in range(16)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, ortho)], "vec_id int, v array<double>")
+    pairs = lsh_ann_pairs(df, "v", 16, n_planes=8, min_cosine=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+
+
+def test_token_stats(docs):
+    r = {x["doc_id"]: x for x in token_stats(docs, "doc_id", "text").collect()}
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["distinct_tokens"] == 8  # 'the' twice
+    assert r[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_quality_monotone(docs):
+    r = {x["doc_id"]: x["quality_score"]
+         for x in quality(docs, "doc_id", "text").collect()}
+    assert all(0 <= v <= 1 for v in r.values())
+    # doc 3 has full diversity, doc 1 repeats 'the'
+    assert r[3] > 0
+
+
+def test_lang_id(docs):
+    r = {x["doc_id"]: x["predicted_lang"]
+         for x in lang_id(docs, "doc_id", "text").collect()}
+    assert r[1] == "en" and r[5] == "de" and r[6] == "fr"
+
+
+def test_lang_id_charclass(spark):
+    df = spark.createDataFrame(
+        [(1, "你好世界"), (2, "привет мир")],
+        "doc_id int, text string")
+    r = {x["doc_id"]: x["predicted_lang"]
+         for x in lang_id(df, "doc_id", "text").collect()}
+    assert r[1] == "zh" and r[2] == "ru"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "other")],
+        "doc_id int, text string")
+    r = {x["doc_id"]: x["fingerprint"]
+         for x in fingerprint(df, "doc_id", "text").collect()}
+    assert r[1] == r[2] != r[3]
+    assert len(r[1]) == 16
+
+
+def test_multimodal_decode(spark):
+    rows = [(1, b"\x89PNG\r\n\x1a\nrest"), (2, b"\xff\xd8\xff\xe0jpg"),
+            (3, b"plain bytes"), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary")
+    out = {r["doc_id"]: r for r in
+           decode_binary_features(df, "payload", "doc_id").collect()}
+    assert out[1]["media_type"] == "image/png"
+    assert out[2]["media_type"] == "image/jpeg"
+    assert out[3]["media_type"] == "application/octet-stream"
+    assert out[3]["n_bytes"] == 11
+    assert out[4]["media_type"] is None
+    assert abs(out[3]["feature_mean"]
+               - sum(b"plain bytes") / 11) < 1e-6
