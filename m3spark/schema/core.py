@@ -128,12 +128,20 @@ def _merge(a: Ann, b: Ann) -> Ann:
 class _Rt:
     """Per-validation runtime state: the dynamic scope chain of schema
     resources entered (for $dynamicRef/$recursiveRef, compare the
-    reference's ``$dynamic-scope-chain``: property.cljc:211-216)."""
+    reference's ``$dynamic-scope-chain``: property.cljc:211-216) plus an
+    application-depth counter guarding degenerate $ref cycles."""
 
-    __slots__ = ("scope",)
+    __slots__ = ("scope", "depth")
+
+    MAX_DEPTH = 2500  # schema applications, ~tracks document depth
 
     def __init__(self, root_uri: str):
         self.scope = [root_uri]
+        self.depth = 0
+
+
+class _DepthExceeded(Exception):
+    pass
 
 
 class Compiled:
@@ -148,14 +156,20 @@ class Compiled:
         self.resource_uri = resource_uri
 
     def __call__(self, value, path, rt):
+        rt.depth += 1
+        if rt.depth > _Rt.MAX_DEPTH:
+            raise _DepthExceeded(path)
         uri = self.resource_uri
-        if rt.scope[-1] != uri:
-            rt.scope.append(uri)
-            try:
-                return self.fn(value, path, rt)
-            finally:
-                rt.scope.pop()
-        return self.fn(value, path, rt)
+        try:
+            if rt.scope[-1] != uri:
+                rt.scope.append(uri)
+                try:
+                    return self.fn(value, path, rt)
+                finally:
+                    rt.scope.pop()
+            return self.fn(value, path, rt)
+        finally:
+            rt.depth -= 1
 
 
 # --------------------------------------------------------------------------
@@ -306,17 +320,27 @@ class CompiledSchema:
     # -- public API --------------------------------------------------------
 
     def validate(self, value: Any) -> ValidationResult:
+        import sys
+
         rt = _Rt(self.root_uri)
-        errs, _ = self.root(value, "", rt)
+        # ~10 interpreter frames per application; size the Python limit
+        # to MAX_DEPTH so the explicit guard (clean error) fires first
+        if sys.getrecursionlimit() < _Rt.MAX_DEPTH * 12:
+            sys.setrecursionlimit(_Rt.MAX_DEPTH * 12)
+        try:
+            errs, _ = self.root(value, "", rt)
+        except (_DepthExceeded, RecursionError):
+            # degenerate $ref cycle with no structural descent (e.g.
+            # {"$ref": "#"}): fail the document rather than the process
+            errs = [Violation("$ref", "", "",
+                              "$ref cycle exceeded recursion limit")]
         errors = [e for e in errs if e.level == "error"]
         warnings = [e for e in errs if e.level == "warning"]
         infos = [e for e in errs if e.level == "info"]
         return ValidationResult(not errors, errors, warnings, infos)
 
     def is_valid(self, value: Any) -> bool:
-        rt = _Rt(self.root_uri)
-        errs, _ = self.root(value, "", rt)
-        return not any(e.level == "error" for e in errs)
+        return self.validate(value).valid
 
     # -- resolution --------------------------------------------------------
 
