@@ -40,7 +40,7 @@ def main(argv=None):
     from m3spark.pages import generate_pages, PAGES_SCHEMA
     from m3spark.pipeline import validate_pages
     from m3spark.tables import read_pages, snapshot_id, write_pages
-    from m3spark.checks import CheckpointStore, run_resumable
+    from m3spark.checks import CheckpointStore, column_stats, run_resumable
 
     spark = SparkSession.builder.appName("m3spark-validate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -72,6 +72,10 @@ def main(argv=None):
             (viol.write.mode("append").parquet(f"{args.output}/violations"))
             (res["partition_verdicts"].write.mode("append")
                 .parquet(f"{args.output}/verdicts"))
+            # per-partition column stats (null/min/max/distinct via HLL)
+            (column_stats(part_df, ["url", "text", "lang"],
+                          group_by=args.partition_col, distinct="approx")
+                .write.mode("append").parquet(f"{args.output}/stats"))
         finally:
             res["slim"].unpersist()
         totals["rows"] += n

@@ -1413,6 +1413,7 @@ _D2019K = dict(_D7, **{
     "unevaluatedItems": c_unevaluated_items,
     "$recursiveRef": c_recursive_ref,
     "deprecated": c_deprecated,
+    "$comment": c_comment,
 })
 _D2019K.pop("dependencies", None)
 
@@ -1460,7 +1461,7 @@ _KEYWORD_ORDER = [
     "properties", "patternProperties", "additionalProperties",
     "propertyNames",
     "contentEncoding",
-    "deprecated",
+    "deprecated", "$comment",
     "unevaluatedItems", "unevaluatedProperties",
 ]
 
