@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="skip partitions already checkpointed for this snapshot")
     ap.add_argument("--partition-col", default="warc_day")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="pending partitions validated per Spark job "
+                         "(amortizes fixed per-job cost; crash loses at "
+                         "most one chunk)")
     ap.add_argument("--generate-rows", type=int, default=0,
                     help="generate a synthetic input of N pages first (demo)")
     args = ap.parse_args(argv)
@@ -40,7 +44,9 @@ def main(argv=None):
     from m3spark.pages import generate_pages, PAGES_SCHEMA
     from m3spark.pipeline import validate_pages
     from m3spark.tables import read_pages, snapshot_id, write_pages
-    from m3spark.checks import CheckpointStore, column_stats, run_resumable
+    from m3spark.checks import (
+        CheckpointStore, column_stats, run_resumable_batched,
+    )
 
     spark = SparkSession.builder.appName("m3spark-validate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -57,34 +63,37 @@ def main(argv=None):
 
     totals = {"rows": 0, "violations": 0}
 
-    def validate_partition(part_df):
-        # uniqueness is NOT per-partition: a url duplicated across crawl
-        # days must still be flagged, so it runs as one global keyed
-        # count after the partition loop (see below)
-        res = validate_pages(part_df, schema=PAGES_SCHEMA,
+    def validate_batch(chunk_df):
+        # uniqueness is NOT per-partition/chunk: a url duplicated across
+        # crawl days must still be flagged, so it runs as one global
+        # keyed count after the loop (see below)
+        res = validate_pages(chunk_df, schema=PAGES_SCHEMA,
                              partition_expr=args.partition_col,
                              with_uniqueness=False,
                              persist=True)
         try:
-            n = res["slim"].count()
-            viol = res["violations"]
-            n_viol = viol.count()
-            (viol.write.mode("append").parquet(f"{args.output}/violations"))
-            (res["partition_verdicts"].write.mode("append")
+            verdicts = res["partition_verdicts"].collect()
+            (res["violations"].write.mode("append")
+                .parquet(f"{args.output}/violations"))
+            (spark.createDataFrame(verdicts).write.mode("append")
                 .parquet(f"{args.output}/verdicts"))
             # per-partition column stats (null/min/max/distinct via HLL)
-            (column_stats(part_df, ["url", "text", "lang"],
+            (column_stats(chunk_df, ["url", "text", "lang"],
                           group_by=args.partition_col, distinct="approx")
                 .write.mode("append").parquet(f"{args.output}/stats"))
         finally:
             res["slim"].unpersist()
-        totals["rows"] += n
-        totals["violations"] += n_viol
-        return n, n_viol
+        counts = {r["partition_key"]: (r["rows_scanned"],
+                                       r["violation_count"])
+                  for r in verdicts}
+        totals["rows"] += sum(c[0] for c in counts.values())
+        totals["violations"] += sum(c[1] for c in counts.values())
+        return counts
 
     t0 = time.monotonic()
-    outcome = run_resumable(pages, args.partition_col, store, snap,
-                            validate_partition)
+    outcome = run_resumable_batched(pages, args.partition_col, store, snap,
+                                    validate_batch,
+                                    batch_size=args.batch_size)
     if outcome["validated"]:
         # global cross-partition uniqueness (one keyed count over the
         # url column only — html/text are pruned from the scan)

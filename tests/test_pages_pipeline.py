@@ -133,3 +133,32 @@ def test_resumability(tmp_path, spark, pages):
         run_resumable(df, "day", store, "snap2", validate_partition,
                       fail_after=1)
     assert len(store.completed("snap2")) == 1
+
+
+def test_resumability_batched(tmp_path, spark, pages):
+    """Chunked mode: one filtered job per chunk, per-partition lineage,
+    restart skips whole chunks already recorded."""
+    from m3spark.checks import run_resumable_batched
+
+    store = CheckpointStore(spark, str(tmp_path / "ckpt_b"))
+    df = pages.withColumn("day", F.to_date("warc_ts"))
+
+    calls = {"n": 0}
+
+    def validate_batch(chunk_df):
+        calls["n"] += 1
+        rows = (chunk_df.groupBy("day")
+                        .agg(F.count(F.lit(1)).alias("n")).collect())
+        return {r["day"]: (r["n"], 0) for r in rows}
+
+    out = run_resumable_batched(df, "day", store, "snapB", validate_batch,
+                                batch_size=8)
+    assert len(out["validated"]) == 30 and calls["n"] == 4  # ceil(30/8)
+    lineage = store.lineage()
+    assert lineage.count() == 30
+    assert lineage.agg(F.sum("rows_scanned")).head()[0] == N
+    # restart: everything skipped, no new jobs
+    out2 = run_resumable_batched(df, "day", store, "snapB", validate_batch,
+                                 batch_size=8)
+    assert len(out2["skipped"]) == 30 and len(out2["validated"]) == 0
+    assert calls["n"] == 4
