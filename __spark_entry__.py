@@ -217,11 +217,33 @@ def q_sim_topk_embeddings(spark, sf_dir):
 
 
 def q_text_tokens_documents(spark, sf_dir):
-    """Token counting + length stats — text-analysis family."""
+    """Token counting (whitespace + BPE-ish regex) + length stats —
+    text-analysis family."""
     from m3spark.ops import token_stats
 
     docs = _t(spark, sf_dir, "documents")
     return token_stats(docs, "doc_id", "text")
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force within an id range;
+    the LSH-bucketed variant is q_lsh_ann_embeddings)."""
+    from m3spark.ops.similarity import _dot, _norm
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 200)
+           .select("vec_id",
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        _norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"),
+                     cos.alias("_c"))
+             .where(F.col("_c") >= 0.3)
+             .select("id_a", "id_b", F.round("_c", 6).alias("cosine")))
 
 
 def q_text_quality_documents(spark, sf_dir):
@@ -328,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_ks": q_drift_events_ks,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "sim_topk_embeddings": q_sim_topk_embeddings,
         "text_tokens_documents": q_text_tokens_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -504,8 +527,23 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(string_split(text, ' ')))::INT
                      AS distinct_tokens,
                    ROUND(length(replace(text, ' ', '')) /
-                         len(string_split(text, ' ')), 6) AS avg_token_len
+                         len(string_split(text, ' ')), 6) AS avg_token_len,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+' ||
+                       '| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::INT AS n_tokens_bpe
             FROM documents
+        """,
+        "dedup_embedding_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+                  (sqrt(list_dot_product(a.v, a.v)) *
+                   sqrt(list_dot_product(b.v, b.v))) >= 0.3
         """,
         "text_quality_documents": """
             WITH t AS (

@@ -16,9 +16,19 @@ _LANG_MARKERS = {
 }
 
 
+# BPE-ish pre-tokenizer (GPT-2 style, simplified to be Java+RE2 safe):
+# contractions, letter runs, digit runs, punctuation runs, whitespace runs
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_tokens, n_chars, distinct_tokens, avg_token_len).
-    Whitespace tokenization; avg excludes separators."""
+    """(id, n_tokens, n_chars, distinct_tokens, avg_token_len,
+    n_tokens_bpe).  Whitespace tokenization for the word stats; the
+    BPE-ish count uses a GPT-2-style pre-tokenizer regex (JVM
+    regexp_count — no Python)."""
     toks = F.split(F.col(text_col), " ")
     n_tokens = F.size(toks)
     nonspace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
@@ -27,7 +37,9 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         F.length(F.col(text_col)).alias("n_chars"),
         F.size(F.array_distinct(toks)).alias("distinct_tokens"),
-        F.round(nonspace / n_tokens, 6).alias("avg_token_len"))
+        F.round(nonspace / n_tokens, 6).alias("avg_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+         .alias("n_tokens_bpe"))
 
 
 def quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
