@@ -523,7 +523,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens_documents": """
             SELECT doc_id,
                    len(string_split(text, ' '))::INT AS n_tokens,
-                   length(text)::BIGINT AS n_chars,
+                   length(text)::INT AS n_chars,
                    len(list_distinct(string_split(text, ' ')))::INT
                      AS distinct_tokens,
                    ROUND(length(replace(text, ' ', '')) /

@@ -37,6 +37,24 @@ def norm_cell(v):
     return str(v)
 
 
+_TYPE_ALIASES = {
+    "bigint": "int64", "hugeint": "int128", "int": "int32",
+    "integer": "int32", "smallint": "int16", "tinyint": "int8",
+    "double": "float64", "float": "float32", "varchar": "string",
+    "boolean": "bool", "date": "date", "timestamp": "timestamp",
+    "number": "float64",  # duckdb dbapi type code for numerics
+}
+
+
+def _norm_type(t: str) -> str:
+    t = t.lower().split("(")[0].strip()
+    # duckdb dbapi description gives DBAPITypeObject strings like NUMBER
+    for k, v in _TYPE_ALIASES.items():
+        if k in t:
+            return v
+    return t
+
+
 def value_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -84,6 +102,15 @@ def main():
         problems = []
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={scols} duck={dcols}")
+        else:
+            stypes = {f.name: _norm_type(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
+            dtypes = {c: _norm_type(str(t))
+                      for c, t in zip(rel.columns, rel.types)}
+            tmism = {c: (stypes[c], dtypes[c]) for c in stypes
+                     if stypes[c] != dtypes[c]}
+            if tmism:
+                problems.append(f"dtype mismatch {tmism}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
