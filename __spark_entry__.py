@@ -93,6 +93,25 @@ def q_val_events_props(spark, sf_dir):
     return out.select("event_id", "valid")
 
 
+def q_val_events_props_struct(spark, sf_dir):
+    """Nested validation on the COLUMNAR path: parse the JSON payload to
+    a typed struct with from_json, then lower the nested keywords to
+    getField predicates (SURVEY §7 step 5 — static-schema struct path;
+    contrast with q_val_events_props, which uses the Arrow interpreter)."""
+    from m3spark.columnar import ColumnarValidator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.from_json("props", "k INT").alias("props_struct"))
+    cv = ColumnarValidator({
+        "required": ["props_struct"],
+        "properties": {"props_struct": {
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0,
+                                 "exclusiveMaximum": 50}}}}},
+        format_assertion=True)
+    return cv.apply(ev).select("event_id", "valid")
+
+
 def q_uniqueness_documents(spark, sf_dir):
     """Cross-row uniqueness (distributed uniqueItems) on a composite key
     — §2.5/§2.10."""
@@ -341,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_documents": q_val_documents,
         "val_lineitem": q_val_lineitem,
         "val_events_props": q_val_events_props,
+        "val_events_props_struct": q_val_events_props_struct,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -420,6 +440,15 @@ def oracle_sql() -> dict[str, str]:
                      k IS NOT NULL AND k >= 0 AND k < 50, FALSE) AS valid
             FROM (SELECT event_id,
                          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           AS k
+                  FROM events)
+        """,
+        "val_events_props_struct": """
+            SELECT event_id,
+                   COALESCE(
+                     k IS NOT NULL AND k >= 0 AND k < 50, FALSE) AS valid
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k') AS INT)
                            AS k
                   FROM events)
         """,

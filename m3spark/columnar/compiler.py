@@ -55,6 +55,7 @@ class Check:
     message: str
     level: str
     build: Callable[[Column, T.DataType], Column]
+    doc_path: str | None = None  # defaults to "/<column>" at apply time
 
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -115,26 +116,38 @@ def _uri_pred(col: Column) -> Column:
 
 
 def _format_pred(fmt: str) -> Callable[[Column, T.DataType], Column]:
+    # builders tagged _jvm=False use pandas UDFs, which cannot run inside
+    # higher-order-function lambdas (nested array/struct compilation
+    # rejects them)
     if fmt == "uri":
-        return lambda col, dt: _uri_pred(col)
+        fn = lambda col, dt: _uri_pred(col)  # noqa: E731
+        fn._jvm = True
+        return fn
     rx = SPARK_RLIKE.get(fmt)
     if rx is not None:
-        return lambda col, dt: col.rlike(rx)
-    fn = FORMATS.get(fmt)
-    if fn is None:
-        return lambda col, dt: F.lit(True)
+        fn = lambda col, dt: col.rlike(rx)  # noqa: E731
+        fn._jvm = True
+        return fn
+    if FORMATS.get(fmt) is None:
+        fn = lambda col, dt: F.lit(True)  # noqa: E731
+        fn._jvm = True
+        return fn
 
     @F.pandas_udf(T.BooleanType())
     def fmt_udf(s: pd.Series) -> pd.Series:
         f = FORMATS[fmt]
         return s.map(lambda x: None if x is None else bool(f(x)))
 
-    return lambda col, dt: fmt_udf(col)
+    fn = lambda col, dt: fmt_udf(col)  # noqa: E731
+    fn._jvm = False
+    return fn
 
 
 def _pattern_pred(pattern: str, force_python: bool) -> Callable:
     if not force_python and "\\c" not in pattern:
-        return lambda col, dt: col.rlike(pattern)
+        fn = lambda col, dt: col.rlike(pattern)  # noqa: E731
+        fn._jvm = True
+        return fn
 
     @F.pandas_udf(T.BooleanType())
     def pat_udf(s: pd.Series) -> pd.Series:
@@ -142,7 +155,9 @@ def _pattern_pred(pattern: str, force_python: bool) -> Callable:
         rx = compile_ecma_pattern(pattern)
         return s.map(lambda x: None if x is None else rx.search(x) is not None)
 
-    return lambda col, dt: pat_udf(col)
+    fn = lambda col, dt: pat_udf(col)  # noqa: E731
+    fn._jvm = False
+    return fn
 
 
 class ColumnarValidator:
@@ -174,7 +189,10 @@ class ColumnarValidator:
         "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
         "exclusiveMaximum", "multipleOf", "divisibleBy", "minLength",
         "maxLength", "pattern", "format", "allOf", "anyOf", "oneOf", "not",
-        "required",  # draft3 boolean form
+        "required",  # draft3 boolean form / nested struct requireds
+        "items", "minItems", "maxItems", "uniqueItems",
+        "contains", "minContains", "maxContains",
+        "properties",  # nested struct/map columns
         "title", "description", "default", "examples", "$comment",
         "deprecated", "readOnly", "writeOnly",
     }
@@ -202,12 +220,16 @@ class ColumnarValidator:
     def _required_builder(self):
         return lambda col, dt: col.isNotNull()
 
-    def _add(self, column, keyword, sp, msg, level, build, null_passes=True):
+    def _add(self, column, keyword, sp, msg, level, build, null_passes=True,
+             doc_path=None):
         if null_passes and keyword != "required":
             inner = build
-            build = lambda col, dt, _b=inner: (  # noqa: E731
+            wrapped = lambda col, dt, _b=inner: (  # noqa: E731
                 F.when(col.isNull(), F.lit(True)).otherwise(_b(col, dt)))
-        self.checks.append(Check(column, keyword, sp, msg, level, build))
+            wrapped._jvm = getattr(inner, "_jvm", True)
+            build = wrapped
+        self.checks.append(Check(column, keyword, sp, msg, level, build,
+                                 doc_path))
 
     def _compile_property(self, name: str, sub, sp: str):
         if sub is True or sub == {}:
@@ -299,6 +321,9 @@ class ColumnarValidator:
                 self._add(name, "format", f"{sp}/format",
                           f"not a valid {fmt}", level, _format_pred(fmt))
 
+        self._compile_array_keywords(name, sub, sp)
+        self._compile_struct_keywords(name, sub, sp)
+
         for comb in ("allOf", "anyOf", "oneOf"):
             if isinstance(sub.get(comb), list):
                 self._compile_combinator(name, comb, sub[comb], f"{sp}/{comb}")
@@ -313,6 +338,132 @@ class ColumnarValidator:
                       "error",
                       lambda col, dt, _b=builders: ~_reduce_and(
                           [b(col, dt) for b in _b]))
+
+    def _nested_builders(self, frag, sp) -> list:
+        """Compile a subschema fragment into JVM-only builders usable
+        inside higher-order-function lambdas (SURVEY §2.5 Spark
+        primitives: forall/exists/filter).  Pandas-UDF-backed checks
+        cannot execute per-element, so they are flagged unsupported."""
+        inner = ColumnarValidator({"properties": {"_e": frag}},
+                                  draft=self.draft,
+                                  format_assertion=self.format_assertion,
+                                  strict=False)
+        self.unsupported.extend(
+            u.replace("/properties/_e", sp) for u in inner.unsupported)
+        builders = []
+        for c in inner.checks:
+            if not getattr(c.build, "_jvm", True):
+                self.unsupported.append(
+                    f"{sp}/{c.keyword} (pandas-UDF check inside nested "
+                    f"element — not lowerable to a HOF lambda)")
+                continue
+            builders.append(c.build)
+        return builders
+
+    def _compile_array_keywords(self, name: str, sub: dict, sp: str):
+        """Array keywords over typed array<T> columns as higher-order
+        functions (m3 analogs: property.cljc:1156-1331; SURVEY §2.5)."""
+        def arr_guard(build):
+            def guarded(col, dt):
+                if not isinstance(dt, T.ArrayType):
+                    return F.lit(True)  # type keyword reports mismatches
+                return build(col, dt.elementType)
+            return guarded
+
+        if "minItems" in sub:
+            v = sub["minItems"]
+            self._add(name, "minItems", f"{sp}/minItems",
+                      f"fewer than {v} items", "error",
+                      arr_guard(lambda col, et, _v=v: F.size(col) >= _v))
+        if "maxItems" in sub:
+            v = sub["maxItems"]
+            self._add(name, "maxItems", f"{sp}/maxItems",
+                      f"more than {v} items", "error",
+                      arr_guard(lambda col, et, _v=v: F.size(col) <= _v))
+        if sub.get("uniqueItems") is True:
+            self._add(name, "uniqueItems", f"{sp}/uniqueItems",
+                      "array items are not unique", "error",
+                      arr_guard(lambda col, et:
+                                F.size(col) == F.size(F.array_distinct(col))))
+        items = sub.get("items")
+        if items is False:
+            self._add(name, "items", f"{sp}/items",
+                      "items: false allows only empty arrays", "error",
+                      arr_guard(lambda col, et: F.size(col) == 0))
+        elif isinstance(items, dict):
+            builders = self._nested_builders(items, f"{sp}/items")
+            if builders:
+                self._add(name, "items", f"{sp}/items",
+                          "array element violates items schema", "error",
+                          arr_guard(lambda col, et, _b=tuple(builders):
+                                    F.forall(col, lambda x: _reduce_and(
+                                        [b(x, et) for b in _b]))))
+        contains = sub.get("contains")
+        if isinstance(contains, dict):
+            builders = self._nested_builders(contains, f"{sp}/contains")
+            min_c = sub.get("minContains", 1)
+            max_c = sub.get("maxContains")
+
+            def build(col, et, _b=tuple(builders), _lo=min_c, _hi=max_c):
+                cnt = F.size(F.filter(col, lambda x: _reduce_and(
+                    [b(x, et) for b in _b])))
+                ok = cnt >= F.lit(int(_lo))
+                if _hi is not None:
+                    ok = ok & (cnt <= F.lit(int(_hi)))
+                return ok
+
+            self._add(name, "contains", f"{sp}/contains",
+                      f"contains-match count outside [{min_c}, "
+                      f"{max_c if max_c is not None else 'inf'}]", "error",
+                      arr_guard(build))
+
+    def _compile_struct_keywords(self, name: str, sub: dict, sp: str):
+        """Object keywords over typed struct columns: per-field predicate
+        via getField (m3 analog: property.cljc:992-1052; SURVEY §2.4)."""
+        props = sub.get("properties")
+        req = sub.get("required")
+        if isinstance(req, list):
+            for k in req:
+                def build_req(col, dt, _k=k):
+                    # a NULL struct means the whole property is missing:
+                    # nested required does not apply (presence semantics)
+                    if isinstance(dt, T.StructType):
+                        inner = (F.lit(False) if _k not in dt.fieldNames()
+                                 else col.getField(_k).isNotNull())
+                    elif isinstance(dt, T.MapType):
+                        inner = F.map_contains_key(col, F.lit(_k))
+                    else:
+                        return F.lit(True)
+                    return F.when(col.isNull(), F.lit(True)).otherwise(inner)
+                self._add(name, "required", f"{sp}/required",
+                          f"required property {k!r} missing", "error",
+                          build_req, doc_path=f"/{name}/{k}")
+        if isinstance(props, dict):
+            for pname, pschema in props.items():
+                if not isinstance(pschema, dict):
+                    continue
+                builders = self._nested_builders(
+                    pschema, f"{sp}/properties/{pname}")
+                if not builders:
+                    continue
+
+                def build(col, dt, _p=pname, _b=tuple(builders)):
+                    if isinstance(dt, T.StructType):
+                        if _p not in dt.fieldNames():
+                            return F.lit(True)
+                        f = col.getField(_p)
+                        ft = dt[_p].dataType
+                    elif isinstance(dt, T.MapType):
+                        f = col.getField(_p)
+                        ft = dt.valueType
+                    else:
+                        return F.lit(True)
+                    return F.when(f.isNull(), F.lit(True)).otherwise(
+                        _reduce_and([b(f, ft) for b in _b]))
+
+                self._add(name, "properties", f"{sp}/properties/{pname}",
+                          f"property {pname!r} violates its schema", "error",
+                          build, doc_path=f"/{name}/{pname}")
 
     def _compile_combinator(self, name, comb, subs, sp):
         groups = []
@@ -357,7 +508,7 @@ class ColumnarValidator:
             viol = F.struct(
                 F.lit(c.keyword).alias("keyword"),
                 F.lit(c.schema_path).alias("schema_path"),
-                F.lit("/" + c.column).alias("doc_path"),
+                F.lit(c.doc_path or ("/" + c.column)).alias("doc_path"),
                 F.lit(c.message).alias("message"),
                 F.lit(c.level).alias("level"))
             structs.append(F.when(~ok.eqNullSafe(True), viol))

@@ -1,0 +1,101 @@
+"""Columnar nested keywords over typed array/struct columns (HOF
+lowering: forall/filter/size/array_distinct/getField) — must agree with
+the Python interpreter on the same documents."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from m3spark.columnar import ColumnarValidator
+from m3spark.sparkval import validate_json
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "tags": {"type": "array", "items": {"type": "string",
+                                            "minLength": 2,
+                                            "pattern": "^[a-z]+$"},
+                 "minItems": 1, "maxItems": 4, "uniqueItems": True},
+        "scores": {"contains": {"minimum": 90}, "minContains": 1,
+                   "maxContains": 2},
+        "meta": {"type": "object",
+                 "required": ["kind"],
+                 "properties": {"kind": {"enum": ["a", "b"]},
+                                "weight": {"minimum": 0,
+                                           "exclusiveMaximum": 10}}},
+    },
+}
+
+ROWS = [
+    # (tags, scores, (kind, weight))
+    (["alpha", "beta"], [95.0, 10.0], ("a", 5.0)),          # valid
+    (["x"], [95.0], ("b", 0.0)),                              # minLength
+    (["alpha", "alpha"], [95.0], ("a", 1.0)),                 # uniqueItems
+    ([], [91.0], ("a", 1.0)),                                  # minItems
+    (["alpha"], [10.0, 20.0], ("a", 1.0)),                    # contains min
+    (["alpha"], [91.0, 92.0, 93.0], ("a", 1.0)),              # maxContains
+    (["alpha"], [95.0], (None, 1.0)),                          # required kind
+    (["alpha"], [95.0], ("c", 1.0)),                           # enum
+    (["alpha"], [95.0], ("a", 10.0)),                          # exclMax
+    (["Alpha"], [95.0], ("a", 1.0)),                           # pattern
+    (None, None, None),                                         # all missing
+    (["alpha", "beta", "gamma", "delta", "eps"], [95.0], ("a", 1.0)),  # maxIt
+]
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    return spark.createDataFrame(
+        [(t, s, m) for t, s, m in ROWS],
+        "tags array<string>, scores array<double>, "
+        "meta struct<kind:string, weight:double>")
+
+
+def test_nested_columnar_matches_interpreter(spark, typed_df):
+    cv = ColumnarValidator(SCHEMA, format_assertion=True)
+    got_col = [r["valid"] for r in cv.apply(typed_df)
+               .select("valid").collect()]
+
+    docs = []
+    for tags, scores, meta in ROWS:
+        d = {}
+        if tags is not None:
+            d["tags"] = tags
+        if scores is not None:
+            d["scores"] = scores
+        if meta is not None:
+            d["meta"] = {k: v for k, v in
+                         zip(("kind", "weight"), meta) if v is not None}
+        docs.append(json.dumps(d))
+    out = validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        SCHEMA, format_assertion=True)
+    got_interp = [r["valid"] for r in out.select("valid").collect()]
+
+    expected = [True] + [False] * 9 + [True, False]
+    assert got_col == got_interp == expected
+
+
+def test_nested_stays_jvm_side(spark, typed_df):
+    cv = ColumnarValidator(SCHEMA, format_assertion=True)
+    plan = cv.apply(typed_df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_nested_violation_paths(spark, typed_df):
+    cv = ColumnarValidator(SCHEMA, format_assertion=True)
+    df = typed_df.withColumn("rid", F.monotonically_increasing_id())
+    rows = cv.violation_rows(df, "rid").collect()
+    paths = {r["doc_path"] for r in rows}
+    assert "/meta/kind" in paths     # struct-field doc path
+    assert "/tags" in paths
+
+
+def test_nested_udf_format_rejected():
+    with pytest.raises(Exception) as ei:
+        ColumnarValidator(
+            {"properties": {"xs": {"items": {"format": "idn-hostname"}}}})
+    assert "pandas-UDF" in str(ei.value)
