@@ -308,6 +308,19 @@ def q_simhash_documents(spark, sf_dir):
     return simhash(docs, "doc_id", "text", bits=32)
 
 
+def q_ann_ivf_embeddings(spark, sf_dir):
+    """IVF approximate top-k (KMeans coarse quantizer, probe-2) — the
+    partition-pruning ANN scale path; rows-only (MLlib clustering has
+    no DuckDB analog)."""
+    from m3spark.ops import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb, "embedding", [float(x) for x in qvec], 10,
+                    n_clusters=8, n_probe=3)
+
+
 def q_lsh_ann_embeddings(spark, sf_dir):
     """Random-hyperplane LSH near-neighbor pairs — similarity scale path."""
     from m3spark.ops import lsh_ann_pairs
@@ -380,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
         "multimodal_features": q_multimodal_features,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,

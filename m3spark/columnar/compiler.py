@@ -190,9 +190,11 @@ class ColumnarValidator:
         "exclusiveMaximum", "multipleOf", "divisibleBy", "minLength",
         "maxLength", "pattern", "format", "allOf", "anyOf", "oneOf", "not",
         "required",  # draft3 boolean form / nested struct requireds
-        "items", "minItems", "maxItems", "uniqueItems",
+        "items", "prefixItems", "minItems", "maxItems", "uniqueItems",
         "contains", "minContains", "maxContains",
         "properties",  # nested struct/map columns
+        "patternProperties", "additionalProperties", "propertyNames",
+        "minProperties", "maxProperties",
         "title", "description", "default", "examples", "$comment",
         "deprecated", "readOnly", "writeOnly",
     }
@@ -323,6 +325,7 @@ class ColumnarValidator:
 
         self._compile_array_keywords(name, sub, sp)
         self._compile_struct_keywords(name, sub, sp)
+        self._compile_map_keywords(name, sub, sp)
 
         for comb in ("allOf", "anyOf", "oneOf"):
             if isinstance(sub.get(comb), list):
@@ -392,12 +395,40 @@ class ColumnarValidator:
                       arr_guard(lambda col, et: F.size(col) == 0))
         elif isinstance(items, dict):
             builders = self._nested_builders(items, f"{sp}/items")
+            n_prefix = len(sub.get("prefixItems") or []) \
+                if isinstance(sub.get("prefixItems"), list) else 0
             if builders:
+                def build_items(col, et, _b=tuple(builders), _n=n_prefix):
+                    target = col if _n == 0 else F.slice(
+                        col, _n + 1,
+                        F.greatest(F.size(col) - _n, F.lit(0)))
+                    return F.forall(target, lambda x: _reduce_and(
+                        [b(x, et) for b in _b]))
                 self._add(name, "items", f"{sp}/items",
                           "array element violates items schema", "error",
-                          arr_guard(lambda col, et, _b=tuple(builders):
-                                    F.forall(col, lambda x: _reduce_and(
-                                        [b(x, et) for b in _b]))))
+                          arr_guard(build_items))
+        prefix = sub.get("prefixItems")
+        if isinstance(prefix, list) and all(isinstance(s, dict)
+                                            for s in prefix):
+            per_pos = [self._nested_builders(s, f"{sp}/prefixItems/{i}")
+                       for i, s in enumerate(prefix)]
+
+            def build_prefix(col, et, _pp=per_pos):
+                ok = F.lit(True)
+                for i, builders in enumerate(_pp):
+                    if not builders:
+                        continue
+                    elem = F.element_at(col, i + 1)
+                    pos_ok = F.when(
+                        F.size(col) <= i, F.lit(True)).otherwise(
+                        _reduce_and([b(elem, et) for b in builders]))
+                    ok = ok & pos_ok
+                return ok
+
+            self._add(name, "prefixItems", f"{sp}/prefixItems",
+                      "positional element violates prefixItems", "error",
+                      arr_guard(build_prefix))
+
         contains = sub.get("contains")
         if isinstance(contains, dict):
             builders = self._nested_builders(contains, f"{sp}/contains")
@@ -416,6 +447,99 @@ class ColumnarValidator:
                       f"contains-match count outside [{min_c}, "
                       f"{max_c if max_c is not None else 'inf'}]", "error",
                       arr_guard(build))
+
+    def _compile_map_keywords(self, name: str, sub: dict, sp: str):
+        """Object keywords over typed map<string,T> columns as HOFs
+        (SURVEY §2.4 Spark primitives: map_keys/map_filter/forall/
+        array_except).  Struct columns are handled statically in
+        _compile_struct_keywords; these checks no-op on non-map types."""
+        def map_guard(build):
+            def guarded(col, dt):
+                if not isinstance(dt, T.MapType):
+                    return F.lit(True)
+                return build(col, dt.valueType)
+            return guarded
+
+        if "minProperties" in sub:
+            v = sub["minProperties"]
+            self._add(name, "minProperties", f"{sp}/minProperties",
+                      f"fewer than {v} properties", "error",
+                      map_guard(lambda col, vt, _v=v:
+                                F.size(F.map_keys(col)) >= _v))
+        if "maxProperties" in sub:
+            v = sub["maxProperties"]
+            self._add(name, "maxProperties", f"{sp}/maxProperties",
+                      f"more than {v} properties", "error",
+                      map_guard(lambda col, vt, _v=v:
+                                F.size(F.map_keys(col)) <= _v))
+        pn = sub.get("propertyNames")
+        if isinstance(pn, dict):
+            builders = self._nested_builders(pn, f"{sp}/propertyNames")
+            if builders:
+                self._add(name, "propertyNames", f"{sp}/propertyNames",
+                          "property name violates schema", "error",
+                          map_guard(lambda col, vt, _b=tuple(builders):
+                                    F.forall(F.map_keys(col),
+                                             lambda k: _reduce_and(
+                                                 [b(k, T.StringType())
+                                                  for b in _b]))))
+        pp = sub.get("patternProperties")
+        if isinstance(pp, dict):
+            for pat, pschema in pp.items():
+                if not isinstance(pschema, dict):
+                    continue
+                builders = self._nested_builders(
+                    pschema, f"{sp}/patternProperties/{pat}")
+                if not builders:
+                    continue
+
+                def build_pp(col, vt, _pat=pat, _b=tuple(builders)):
+                    # values whose KEY matches the (unanchored) pattern
+                    matched = F.map_filter(
+                        col, lambda k, v: k.rlike(_pat))
+                    return F.forall(F.map_values(matched),
+                                    lambda v: _reduce_and(
+                                        [b(v, vt) for b in _b]))
+                self._add(name, "patternProperties",
+                          f"{sp}/patternProperties/{pat}",
+                          f"value under key matching {pat!r} violates "
+                          f"schema", "error", map_guard(build_pp))
+        ap = sub.get("additionalProperties")
+        if ap is not None and (isinstance(ap, dict) or ap is False):
+            named = [k for k in (sub.get("properties") or {})]
+            pats = list(sub.get("patternProperties") or {})
+
+            def _not_matching(pat):
+                return lambda k: ~k.rlike(pat)
+
+            def unmatched_keys(col):
+                keys = F.map_keys(col)
+                if named:
+                    keys = F.array_except(
+                        keys, F.array(*[F.lit(k) for k in named]))
+                for pat in pats:
+                    keys = F.filter(keys, _not_matching(pat))
+                return keys
+
+            if ap is False:
+                self._add(name, "additionalProperties",
+                          f"{sp}/additionalProperties",
+                          "additional properties are not allowed", "error",
+                          map_guard(lambda col, vt:
+                                    F.size(unmatched_keys(col)) == 0))
+            else:
+                builders = self._nested_builders(
+                    ap, f"{sp}/additionalProperties")
+                if builders:
+                    def build_ap(col, vt, _b=tuple(builders)):
+                        return F.forall(
+                            unmatched_keys(col),
+                            lambda k: _reduce_and(
+                                [b(F.element_at(col, k), vt) for b in _b]))
+                    self._add(name, "additionalProperties",
+                              f"{sp}/additionalProperties",
+                              "additional property violates schema",
+                              "error", map_guard(build_ap))
 
     def _compile_struct_keywords(self, name: str, sub: dict, sp: str):
         """Object keywords over typed struct columns: per-field predicate

@@ -43,6 +43,36 @@ def cosine_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
               .select(id_col, F.round(F.col("_sim"), 6).alias("cosine")))
 
 
+def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
+             id_col: str = "vec_id", n_clusters: int = 16,
+             n_probe: int = 2, seed: int = 42,
+             train_fraction: float = 1.0) -> DataFrame:
+    """IVF approximate top-k: MLlib KMeans coarse quantizer; only the
+    ``n_probe`` clusters whose centroids are nearest the query are
+    scanned (the classic inverted-file ANN recipe).  At scale, train the
+    quantizer on a sample (``train_fraction``) and persist the assigned
+    table bucketed by cluster so queries prune partitions."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(F.col(vec_col)).alias("_feat"))
+    train = feat if train_fraction >= 1.0 else feat.sample(
+        fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
+                   predictionCol="_cluster").fit(train.select("_feat"))
+    assigned = model.transform(feat)
+    q = np.asarray(query, dtype="float64")
+    qn = float(np.linalg.norm(q)) or 1.0
+    sims = [float(np.dot(c, q) / ((np.linalg.norm(c) or 1.0) * qn))
+            for c in model.clusterCenters()]
+    probe = [int(i) for i in np.argsort(sims)[::-1][:n_probe]]
+    cand = assigned.where(F.col("_cluster").isin(probe)) \
+                   .select(id_col, vec_col)
+    return cosine_topk(cand, vec_col, query, k, id_col)
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (pure function of
     seed — no RNG state, reproducible across runs/executors)."""

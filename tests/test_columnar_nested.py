@@ -94,6 +94,63 @@ def test_nested_violation_paths(spark, typed_df):
     assert "/tags" in paths
 
 
+MAP_SCHEMA = {
+    "properties": {
+        "attrs": {
+            "minProperties": 1, "maxProperties": 3,
+            "propertyNames": {"pattern": "^[a-z_]+$", "maxLength": 8},
+            "patternProperties": {"^n_": {"minimum": 0}},
+            "additionalProperties": {"maximum": 100},
+        },
+        "strict": {"additionalProperties": False,
+                   "patternProperties": {"^ok": True}},
+        "seq": {"prefixItems": [{"const": 1.0}, {"minimum": 10}],
+                "items": {"maximum": 5}},
+    },
+}
+
+MAP_ROWS = [
+    ({"n_x": 1.0, "other": 50.0}, {"ok1": 1.0}, [1.0, 11.0, 2.0]),  # valid
+    ({"n_x": -1.0}, {"ok1": 1.0}, [1.0, 11.0]),      # patternProperties
+    ({"other": 101.0}, {"ok1": 1.0}, [1.0, 10.0]),   # additionalProperties
+    ({}, {"ok1": 1.0}, [1.0, 10.0]),                  # minProperties
+    ({"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}, {}, [1.0, 10.0]),  # maxProps
+    ({"BAD": 1.0}, {"ok1": 1.0}, [1.0, 10.0]),        # propertyNames pattern
+    ({"n_x": 1.0}, {"nope": 1.0}, [1.0, 10.0]),       # strict: additional
+    ({"n_x": 1.0}, {"ok1": 1.0}, [2.0, 10.0]),        # prefixItems const
+    ({"n_x": 1.0}, {"ok1": 1.0}, [1.0, 3.0]),         # prefixItems minimum
+    ({"n_x": 1.0}, {"ok1": 1.0}, [1.0, 11.0, 9.0]),   # items past prefix
+    (None, None, None),                                 # all missing
+]
+
+
+def test_map_and_prefix_columnar_matches_interpreter(spark):
+    df = spark.createDataFrame(
+        MAP_ROWS,
+        "attrs map<string,double>, strict map<string,double>, "
+        "seq array<double>")
+    cv = ColumnarValidator(MAP_SCHEMA, format_assertion=True)
+    got_col = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+
+    docs = []
+    for attrs, strict, seq in MAP_ROWS:
+        d = {}
+        if attrs is not None:
+            d["attrs"] = attrs
+        if strict is not None:
+            d["strict"] = strict
+        if seq is not None:
+            d["seq"] = seq
+        docs.append(json.dumps(d))
+    out = validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        MAP_SCHEMA, format_assertion=True)
+    got_interp = [r["valid"] for r in out.select("valid").collect()]
+
+    expected = [True] + [False] * 9 + [True]
+    assert got_col == got_interp == expected
+
+
 def test_nested_udf_format_rejected():
     with pytest.raises(Exception) as ei:
         ColumnarValidator(

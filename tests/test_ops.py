@@ -85,6 +85,27 @@ def test_lsh_ann_finds_planted_cluster(spark):
     assert all(2 not in p for p in got)
 
 
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF with enough probes finds the planted tight cluster; the
+    query's own cluster is always probed first."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    base = [1.0] * 8
+    for i in range(5):  # tight cluster around `base`
+        rows.append((i, [x + rnd.uniform(-0.01, 0.01) for x in base]))
+    for i in range(5, 40):  # scattered background
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(8)]))
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    from m3spark.ops import ivf_topk
+
+    top = ivf_topk(df, "v", base, 5, id_col="vec_id",
+                   n_clusters=4, n_probe=2)
+    got = {r["vec_id"] for r in top.collect()}
+    assert got == {0, 1, 2, 3, 4}
+
+
 def test_token_stats(docs):
     r = {x["doc_id"]: x for x in token_stats(docs, "doc_id", "text").collect()}
     assert r[1]["n_tokens"] == 9
