@@ -201,23 +201,120 @@ class ColumnarValidator:
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
         "required", "additionalProperties", "title", "description",
-        "$comment",
+        "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "dependentRequired",
     }
 
-    def _compile_root(self, schema: dict):
+    _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
+
+    def _compile_root(self, schema: dict, sp: str = ""):
         for k in schema:
             if k not in self._ROOT_KEYWORDS:
                 self.unsupported.append(k)
         req = schema.get("required")
         if isinstance(req, list):
             for name in req:
-                self._add(name, "required", f"/required",
+                self._add(name, "required", f"{sp}/required",
                           f"required property {name!r} missing",
                           "error", self._required_builder())
         props = schema.get("properties")
         if isinstance(props, dict):
             for name, sub in props.items():
-                self._compile_property(name, sub, f"/properties/{name}")
+                self._compile_property(name, sub, f"{sp}/properties/{name}")
+        # root-level cross-column applicators (SURVEY §2.7: the "set ops"
+        # over row predicates — when(if_pred, then_pred) etc.)
+        allof = schema.get("allOf")
+        if isinstance(allof, list):
+            for i, branch in enumerate(allof):
+                if isinstance(branch, dict):
+                    # flatten: keeps per-keyword violation granularity
+                    self._compile_root(branch, f"{sp}/allOf/{i}")
+        for comb in ("anyOf", "oneOf"):
+            branches = schema.get(comb)
+            if isinstance(branches, list):
+                preds = [self._row_pred(b, f"{sp}/{comb}/{i}")
+                         for i, b in enumerate(branches)
+                         if isinstance(b, (dict, bool))]
+
+                def build_comb(_col, dtypes, _p=tuple(preds), _c=comb):
+                    oks = [p(dtypes) for p in _p]
+                    if _c == "anyOf":
+                        return _reduce_or(oks)
+                    total = None
+                    for ok in oks:
+                        x = F.when(ok.eqNullSafe(True), 1).otherwise(0)
+                        total = x if total is None else total + x
+                    return total == 1
+
+                self._row_check(comb, f"{sp}/{comb}",
+                                f"{comb} constraint failed", build_comb)
+        if isinstance(schema.get("not"), (dict, bool)):
+            pred = self._row_pred(schema["not"], f"{sp}/not")
+            self._row_check("not", f"{sp}/not", "row matches 'not' schema",
+                            lambda _col, dtypes, _p=pred:
+                            ~_p(dtypes).eqNullSafe(True))
+        if isinstance(schema.get("if"), (dict, bool)):
+            if_p = self._row_pred(schema["if"], f"{sp}/if")
+            then_p = self._row_pred(schema["then"], f"{sp}/then") \
+                if isinstance(schema.get("then"), (dict, bool)) else None
+            else_p = self._row_pred(schema["else"], f"{sp}/else") \
+                if isinstance(schema.get("else"), (dict, bool)) else None
+
+            def build_ite(_col, dtypes, _i=if_p, _t=then_p, _e=else_p):
+                cond = _i(dtypes).eqNullSafe(True)
+                t_ok = _t(dtypes) if _t is not None else F.lit(True)
+                e_ok = _e(dtypes) if _e is not None else F.lit(True)
+                return F.when(cond, t_ok).otherwise(e_ok)
+
+            self._row_check("if", f"{sp}/if",
+                            "conditional (if/then/else) failed", build_ite)
+        dep = schema.get("dependentRequired")
+        if isinstance(dep, dict):
+            for key, needs in dep.items():
+                if not isinstance(needs, list):
+                    continue
+
+                def build_dep(_col, dtypes, _k=key, _n=tuple(needs)):
+                    present = F.col(_k).isNotNull() if _k in dtypes \
+                        else F.lit(False)
+                    all_there = _reduce_and(
+                        [F.col(n).isNotNull() if n in dtypes else F.lit(False)
+                         for n in _n])
+                    return F.when(present, all_there).otherwise(F.lit(True))
+
+                self._row_check(
+                    "dependentRequired", f"{sp}/dependentRequired/{key}",
+                    f"property {key!r} requires {list(needs)!r}", build_dep)
+
+    def _row_check(self, keyword, sp, msg, build):
+        self.checks.append(Check(self._ROW_CHECK, keyword, sp, msg,
+                                 "error", build, doc_path=""))
+
+    def _row_pred(self, fragment, sp):
+        """Compile an object-schema fragment into a row-level predicate
+        fn(dtypes) -> Column (True = row satisfies the fragment)."""
+        if fragment is True or fragment == {}:
+            return lambda dtypes: F.lit(True)
+        if fragment is False:
+            return lambda dtypes: F.lit(False)
+        inner = ColumnarValidator(fragment, draft=self.draft,
+                                  format_assertion=self.format_assertion,
+                                  strict=False)
+        self.unsupported.extend(f"{sp}{u}" for u in inner.unsupported)
+        checks = inner.checks
+
+        def pred(dtypes):
+            parts = []
+            for c in checks:
+                if c.column == self._ROW_CHECK:
+                    parts.append(c.build(None, dtypes))
+                elif c.column not in dtypes:
+                    parts.append(F.lit(c.keyword != "required"))
+                else:
+                    parts.append(c.build(F.col(c.column), dtypes[c.column])
+                                  .eqNullSafe(True))
+            return _reduce_and(parts)
+        return pred
 
     def _required_builder(self):
         return lambda col, dt: col.isNotNull()
@@ -621,7 +718,9 @@ class ColumnarValidator:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
         structs = []
         for c in self.checks:
-            if c.column not in dtypes:
+            if c.column == self._ROW_CHECK:
+                ok = c.build(None, dtypes)
+            elif c.column not in dtypes:
                 # column absent from the table: required fails statically,
                 # everything else passes (missing property semantics)
                 ok = F.lit(c.keyword != "required")
@@ -632,7 +731,8 @@ class ColumnarValidator:
             viol = F.struct(
                 F.lit(c.keyword).alias("keyword"),
                 F.lit(c.schema_path).alias("schema_path"),
-                F.lit(c.doc_path or ("/" + c.column)).alias("doc_path"),
+                F.lit(c.doc_path if c.doc_path is not None
+                      else "/" + c.column).alias("doc_path"),
                 F.lit(c.message).alias("message"),
                 F.lit(c.level).alias("level"))
             structs.append(F.when(~ok.eqNullSafe(True), viol))
