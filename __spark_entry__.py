@@ -112,6 +112,24 @@ def q_val_events_props_struct(spark, sf_dir):
     return cv.apply(ev).select("event_id", "valid")
 
 
+def q_val_orders_conditional(spark, sf_dir):
+    """Cross-column conditional validation in the columnar engine
+    (root-level if/then/else + dependentRequired — SURVEY §2.7 lowered to
+    when() expressions): finished orders must be large-ish and
+    high-priority orders need a customer key."""
+    from m3spark.columnar import ColumnarValidator
+
+    orders = _t(spark, sf_dir, "orders")
+    cv = ColumnarValidator({
+        "if": {"properties": {"o_orderstatus": {"const": "F"}},
+               "required": ["o_orderstatus"]},
+        "then": {"properties": {"o_totalprice": {"minimum": 5000}}},
+        "else": {"properties": {"o_totalprice": {"minimum": 2000}}},
+        "dependentRequired": {"o_orderpriority": ["o_custkey"]},
+    }, format_assertion=True)
+    return cv.apply(orders).select("o_orderkey", "valid")
+
+
 def q_uniqueness_documents(spark, sf_dir):
     """Cross-row uniqueness (distributed uniqueItems) on a composite key
     — §2.5/§2.10."""
@@ -374,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_lineitem": q_val_lineitem,
         "val_events_props": q_val_events_props,
         "val_events_props_struct": q_val_events_props_struct,
+        "val_orders_conditional": q_val_orders_conditional,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -465,6 +484,15 @@ def oracle_sql() -> dict[str, str]:
                          TRY_CAST(json_extract_string(props, '$.k') AS INT)
                            AS k
                   FROM events)
+        """,
+        "val_orders_conditional": """
+            SELECT o_orderkey,
+                   (CASE WHEN o_orderstatus = 'F'
+                         THEN COALESCE(o_totalprice >= 5000, TRUE)
+                         ELSE COALESCE(o_totalprice >= 2000, TRUE) END
+                    AND (o_orderpriority IS NULL
+                         OR o_custkey IS NOT NULL)) AS valid
+            FROM orders
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count
