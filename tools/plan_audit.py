@@ -1,0 +1,97 @@
+"""Physical-plan hygiene audit: for every queries() entry, count
+Exchanges (shuffles), Python eval nodes, broadcast joins, and whether
+the scan is whole-stage-codegen'd.  Writes PLANS.md.
+
+The point (SURVEY.md §4): validation itself must stay a shuffle-free
+JVM Project; shuffles may appear only where the operator semantically
+requires a keyed exchange (groupBy/join/window/topk), and Python only
+in the explicitly-interpreted or Arrow-batched operators.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+# queries whose semantics REQUIRE a shuffle (keyed agg/join/window/sort)
+EXPECTED_SHUFFLES = {
+    "uniqueness_documents", "ref_orders_without_lineitems",
+    "ref_lineitem_orphans", "stats_documents", "stats_events_daily",
+    "drift_events_psi", "drift_events_ks", "dedup_exact_documents",
+    "dedup_jaccard_documents", "dedup_embedding_pairs",
+    "sim_topk_embeddings", "minhash_pairs_documents",
+    "lsh_ann_embeddings", "ann_ivf_embeddings", "pages_validate",
+    "hll_stats_events",
+}
+# queries that legitimately cross into Python (Arrow-batched)
+EXPECTED_PYTHON = {"val_events_props", "multimodal_features"}
+
+
+def audit():
+    import __spark_entry__ as entrymod
+    from m3spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    problems = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, SF)
+            df.count()  # execute so AQE finalizes the plan (codegen ids)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"{name}: plan error {type(e).__name__}: {e}")
+            continue
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        n_py = len(re.findall(r"(BatchEvalPython|ArrowEvalPython|"
+                              r"MapInPandas|FlatMapGroupsInPandas)", plan))
+        n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan))
+        # codegen'd operators print as "*(n) Operator" in plan strings
+        codegen = re.search(r"\*\(\d+\)", plan) is not None
+        rows.append((name, n_ex, n_py, n_bc, codegen))
+        if n_ex and name not in EXPECTED_SHUFFLES:
+            problems.append(f"{name}: unexpected shuffle ({n_ex} Exchange)")
+        if n_py and name not in EXPECTED_PYTHON:
+            problems.append(f"{name}: unexpected Python stage")
+    spark.stop()
+
+    lines = [
+        "# PLANS — physical-plan hygiene audit (tools/plan_audit.py)",
+        "",
+        "Every `queries()` entry, audited at sf0.01.  Validation queries",
+        "must be shuffle-free JVM Projects; shuffles appear only where the",
+        "operator is a keyed agg/join/top-k; Python only in the two",
+        "Arrow-batched operators (interpreter + multimodal decode).",
+        "",
+        "`codegen` = whole-stage-codegen markers visible in the plan",
+        "string; queries wrapped in AdaptiveSparkPlan (any with a",
+        "shuffle/join) only materialize those markers once that exact",
+        "plan object executes, so 'no' there means 'AQE-deferred', not",
+        "'interpreted'.",
+        "",
+        "| query | shuffles | python stages | broadcasts | codegen |",
+        "|---|---|---|---|---|",
+    ]
+    for name, n_ex, n_py, n_bc, cg in rows:
+        lines.append(f"| {name} | {n_ex} | {n_py} | {n_bc} | "
+                     f"{'yes' if cg else 'no'} |")
+    lines.append("")
+    if problems:
+        lines.append("## Violations")
+        lines += [f"- {p}" for p in problems]
+    else:
+        lines.append("No hygiene violations: zero unexpected shuffles, "
+                     "zero unexpected Python stages.")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(problems) if problems else "clean")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(audit())
