@@ -190,7 +190,8 @@ class ColumnarValidator:
         "exclusiveMaximum", "multipleOf", "divisibleBy", "minLength",
         "maxLength", "pattern", "format", "allOf", "anyOf", "oneOf", "not",
         "required",  # draft3 boolean form / nested struct requireds
-        "items", "prefixItems", "minItems", "maxItems", "uniqueItems",
+        "items", "prefixItems", "additionalItems",
+        "minItems", "maxItems", "uniqueItems",
         "contains", "minContains", "maxContains",
         "properties",  # nested struct/map columns
         "patternProperties", "additionalProperties", "propertyNames",
@@ -360,14 +361,25 @@ class ColumnarValidator:
 
         if isinstance(sub.get("enum"), list):
             vals = sub["enum"]
+
+            def build_enum(col, dt, _v=tuple(vals)):
+                ok = [x for x in _v if _value_compat(x, dt)]
+                # incompatible-typed literals can never match this column
+                return col.isin(*ok) if ok else F.lit(False)
+
             self._add(name, "enum", f"{sp}/enum",
                       f"value not in enum ({len(vals)} options)", "error",
-                      lambda col, dt, _v=tuple(vals): col.isin(*_v))
+                      build_enum)
         if "const" in sub:
             cv = sub["const"]
+
+            def build_const(col, dt, _c=cv):
+                if not _value_compat(_c, dt):
+                    return F.lit(False)
+                return col == F.lit(_c)
+
             self._add(name, "const", f"{sp}/const",
-                      "value does not equal const", "error",
-                      lambda col, dt, _c=cv: col == F.lit(_c))
+                      "value does not equal const", "error", build_const)
 
         for kw, op in (("minimum", ">="), ("maximum", "<=")):
             if kw in sub and isinstance(sub[kw], (int, float)) \
@@ -379,14 +391,14 @@ class ColumnarValidator:
                 eff = {">=": ">", "<=": "<"}[op] if strict_excl else op
                 self._add(name, kw, f"{sp}/{kw}",
                           f"value is not {eff} {bound}", "error",
-                          _cmp_builder(eff, bound))
+                          _numeric_only(_cmp_builder(eff, bound)))
         if not old:
             for kw, op in (("exclusiveMinimum", ">"), ("exclusiveMaximum", "<")):
                 if kw in sub and isinstance(sub[kw], (int, float)) \
                         and not isinstance(sub[kw], bool):
                     self._add(name, kw, f"{sp}/{kw}",
                               f"value is not {op} {sub[kw]}", "error",
-                              _cmp_builder(op, sub[kw]))
+                              _numeric_only(_cmp_builder(op, sub[kw])))
         mof_kw = "divisibleBy" if draft == DRAFT3 else "multipleOf"
         if mof_kw in sub and isinstance(sub[mof_kw], (int, float)) \
                 and not isinstance(sub[mof_kw], bool):
@@ -395,30 +407,31 @@ class ColumnarValidator:
                       f"value is not a multiple of {sub[mof_kw]}", "error",
                       # exact via decimal cast, never float modulo
                       # (m3 BigDecimal semantics: property.cljc:622-632)
-                      lambda col, dt, _d=d: (
-                          col.cast(T.DecimalType(38, 12)) % F.lit(_d)) == 0)
+                      _numeric_only(lambda col, dt, _d=d: (
+                          col.cast(T.DecimalType(38, 12)) % F.lit(_d)) == 0))
 
         if "minLength" in sub:
             v = sub["minLength"]
             self._add(name, "minLength", f"{sp}/minLength",
                       f"string shorter than {v}", "error",
-                      lambda col, dt, _v=v: F.length(col) >= _v)
+                      _string_only(lambda col, dt, _v=v: F.length(col) >= _v))
         if "maxLength" in sub:
             v = sub["maxLength"]
             self._add(name, "maxLength", f"{sp}/maxLength",
                       f"string longer than {v}", "error",
-                      lambda col, dt, _v=v: F.length(col) <= _v)
+                      _string_only(lambda col, dt, _v=v: F.length(col) <= _v))
         if isinstance(sub.get("pattern"), str):
             pat = sub["pattern"]
             self._add(name, "pattern", f"{sp}/pattern",
                       f"string does not match {pat!r}", "error",
-                      _pattern_pred(pat, self._force_py))
+                      _string_only(_pattern_pred(pat, self._force_py)))
         if isinstance(sub.get("format"), str):
             fmt = sub["format"]
             level = "error" if self.format_assertion else "warning"
             if fmt in FORMATS:
                 self._add(name, "format", f"{sp}/format",
-                          f"not a valid {fmt}", level, _format_pred(fmt))
+                          f"not a valid {fmt}", level,
+                          _string_only(_format_pred(fmt)))
 
         self._compile_array_keywords(name, sub, sp)
         self._compile_struct_keywords(name, sub, sp)
@@ -504,10 +517,20 @@ class ColumnarValidator:
                 self._add(name, "items", f"{sp}/items",
                           "array element violates items schema", "error",
                           arr_guard(build_items))
+        # tuple-form positional schemas: prefixItems (2020-12) or
+        # items-as-array (draft<=2019, with additionalItems for the rest)
+        tuple_kw = None
         prefix = sub.get("prefixItems")
-        if isinstance(prefix, list) and all(isinstance(s, dict)
-                                            for s in prefix):
-            per_pos = [self._nested_builders(s, f"{sp}/prefixItems/{i}")
+        if isinstance(prefix, list):
+            tuple_kw = "prefixItems"
+        elif isinstance(sub.get("items"), list):
+            prefix = sub["items"]
+            tuple_kw = "items"
+        if tuple_kw and all(isinstance(s, (dict, bool)) for s in prefix):
+            per_pos = [self._nested_builders(s, f"{sp}/{tuple_kw}/{i}")
+                       if isinstance(s, dict) else
+                       ([] if s is True else
+                        [lambda col, dt: F.lit(False)])
                        for i, s in enumerate(prefix)]
 
             def build_prefix(col, et, _pp=per_pos):
@@ -522,9 +545,35 @@ class ColumnarValidator:
                     ok = ok & pos_ok
                 return ok
 
-            self._add(name, "prefixItems", f"{sp}/prefixItems",
-                      "positional element violates prefixItems", "error",
+            self._add(name, tuple_kw, f"{sp}/{tuple_kw}",
+                      f"positional element violates {tuple_kw}", "error",
                       arr_guard(build_prefix))
+
+        addl = sub.get("additionalItems")
+        if isinstance(sub.get("items"), list) and addl is not None \
+                and (isinstance(addl, dict) or addl is False):
+            n = len(sub["items"])
+            if addl is False:
+                self._add(name, "additionalItems", f"{sp}/additionalItems",
+                          f"more than {n} items (additionalItems: false)",
+                          "error",
+                          arr_guard(lambda col, et, _n=n:
+                                    F.size(col) <= _n))
+            else:
+                builders = self._nested_builders(
+                    addl, f"{sp}/additionalItems")
+                if builders:
+                    def build_ai(col, et, _b=tuple(builders), _n=n):
+                        rest = F.slice(col, _n + 1,
+                                       F.greatest(F.size(col) - _n,
+                                                  F.lit(0)))
+                        return F.forall(rest, lambda x: _reduce_and(
+                            [b(x, et) for b in _b]))
+                    self._add(name, "additionalItems",
+                              f"{sp}/additionalItems",
+                              "element past the tuple prefix violates "
+                              "additionalItems", "error",
+                              arr_guard(build_ai))
 
         contains = sub.get("contains")
         if isinstance(contains, dict):
@@ -760,6 +809,38 @@ class ColumnarValidator:
                         F.col("v.doc_path").alias("doc_path"),
                         F.col("v.message").alias("message"),
                         F.col("v.level").alias("level")))
+
+
+def _value_compat(v, dt: T.DataType) -> bool:
+    """Can literal ``v`` be compared to a column of type ``dt`` without
+    a cast (JSON type compatibility, not SQL coercion)?"""
+    if isinstance(v, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(v, (int, float)):
+        return isinstance(dt, _NUMERIC)
+    if isinstance(v, str):
+        return isinstance(dt, T.StringType)
+    return False
+
+
+def _numeric_only(build):
+    """JSON Schema numeric keywords constrain only numbers: on any other
+    column type they pass statically (and never emit an ANSI cast)."""
+    def guarded(col, dt):
+        if not isinstance(dt, _NUMERIC):
+            return F.lit(True)
+        return build(col, dt)
+    guarded._jvm = getattr(build, "_jvm", True)
+    return guarded
+
+
+def _string_only(build):
+    def guarded(col, dt):
+        if not isinstance(dt, T.StringType):
+            return F.lit(True)
+        return build(col, dt)
+    guarded._jvm = getattr(build, "_jvm", True)
+    return guarded
 
 
 def _reduce_and(preds: list[Column]) -> Column:

@@ -151,6 +151,48 @@ def test_map_and_prefix_columnar_matches_interpreter(spark):
     assert got_col == got_interp == expected
 
 
+def test_tuple_items_draft2019(spark):
+    """draft<=2019 tuple form: items as array + additionalItems."""
+    schema = {"properties": {"seq": {
+        "items": [{"type": "string"}, {"minimum": 5}],
+        "additionalItems": {"maximum": 1},
+    }}}
+    rows = [(["a", 9.0, 0.5],), (["a", 2.0],), ([3.0, 9.0],),
+            (["a", 9.0, 2.0],), (["a"],), (None,)]
+    # draft2019 tuple items: note heterogenous arrays aren't a Spark
+    # type, so model positions over array<double>-compatible... use
+    # array<string> cast semantics instead: simplified — numeric-only
+    df = spark.createDataFrame(
+        [(x,) for (x,) in rows], "seq array<string>")
+    cv = ColumnarValidator(schema, draft="draft2019-09",
+                           format_assertion=True)
+    out = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    # over array<string>: pos0 type string ok; pos1 minimum ignores
+    # non-numeric strings... so only additionalItems/size semantics are
+    # deterministic here; just assert the plan builds and runs
+    assert len(out) == 6
+
+    # numeric tuple over array<double>: positional bound + tail bound
+    schema2 = {"properties": {"seq": {
+        "items": [{"minimum": 0}, {"minimum": 5}],
+        "additionalItems": {"maximum": 1},
+    }}}
+    df2 = spark.createDataFrame(
+        [([0.0, 9.0, 0.5],), ([0.0, 2.0],), ([-1.0, 9.0],),
+         ([0.0, 9.0, 2.0],), ([0.0],), (None,)],
+        "seq array<double>")
+    cv2 = ColumnarValidator(schema2, draft="draft2019-09",
+                            format_assertion=True)
+    got = [r["valid"] for r in cv2.apply(df2).select("valid").collect()]
+    assert got == [True, False, False, False, True, True]
+
+    # additionalItems: false caps the length
+    cv3 = ColumnarValidator({"properties": {"seq": {
+        "items": [{}], "additionalItems": False}}}, draft="draft2019-09")
+    got3 = [r["valid"] for r in cv3.apply(df2).select("valid").collect()]
+    assert got3 == [False, False, False, False, True, True]
+
+
 def test_nested_udf_format_rejected():
     with pytest.raises(Exception) as ei:
         ColumnarValidator(
