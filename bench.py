@@ -82,7 +82,9 @@ def run_bench() -> dict:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
-    # flagship: full pages validation (docs/sec metric)
+    # flagship: full pages validation (docs/sec metric); one untimed
+    # warmup so whole-stage-codegen JIT doesn't dominate the measurement
+    _validate_pages_job(spark, pages_path)
     n_docs, _ = timed("pages_validate",
                       lambda: _validate_pages_job(spark, pages_path))
 

@@ -22,7 +22,7 @@ north-star's "regex/format checks batched, never per-row Python".
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from decimal import Decimal
 from typing import Callable
 

@@ -24,8 +24,6 @@ decode-then-validate analog of m3's content keywords — SURVEY.md §2.9).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
