@@ -155,6 +155,10 @@ def check_ipv4(s: str) -> bool:
 
 
 def check_ipv6(s: str) -> bool:
+    # RFC 2373 grammar: no zone ids (Python's ipaddress accepts '%zone',
+    # the reference's regex does not — pattern.cljc:25)
+    if "%" in s:
+        return False
     try:
         ipaddress.IPv6Address(s)
         return True
@@ -167,7 +171,9 @@ def check_ipv6(s: str) -> bool:
 _ATEXT = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]"
 _DOT_ATOM = rf"{_ATEXT}+(?:\.{_ATEXT}+)*"
 _QUOTED = r'"(?:[^"\\\r\n]|\\.)*"'
-_EMAIL_RE = _anchored(rf"(?:{_DOT_ATOM}|{_QUOTED})@.+")
+# validates the LOCAL part alone (the address splits at the LAST '@',
+# so an unquoted '@' inside the local part must fail)
+_EMAIL_LOCAL_RE = _anchored(rf"(?:{_DOT_ATOM}|{_QUOTED})")
 
 
 def _email_domain_ok(domain: str) -> bool:
@@ -185,7 +191,7 @@ def check_email(s: str) -> bool:
     local, _, domain = s.rpartition("@")
     if not local or not domain:
         return False
-    if not _EMAIL_RE.match(s):
+    if not _EMAIL_LOCAL_RE.match(local):
         return False
     return _email_domain_ok(domain)
 
