@@ -41,6 +41,20 @@ def test_jaccard_pairs(docs):
     assert not any(3 in p for p in got)               # unrelated doc
 
 
+def test_jaccard_hot_shingle_cap(docs):
+    """max_shingle_freq drops shingles shared by more than N docs before
+    the pair join (bounds the quadratic fan-out); near-dup pairs that
+    share rare shingles survive."""
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=4, stride=1,
+                          threshold_num=1, threshold_den=2,
+                          max_shingle_freq=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 4) in got  # exact dups share every (rare) shingle
+    # a universal shingle shared by >2 docs can no longer create pairs
+    # on its own: unrelated docs stay unpaired
+    assert not any(3 in p for p in got)
+
+
 def test_minhash_pairs(docs):
     pairs = minhash_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
                           k=4, stride=1)
