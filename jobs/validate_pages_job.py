@@ -50,6 +50,10 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("m3spark-validate").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # chunk outputs are written partitioned-by-partition-key in OVERWRITE
+    # mode with dynamic pruning: re-running a chunk after a mid-chunk crash
+    # replaces exactly its own partitions instead of appending duplicates
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     if args.generate_rows:
         write_pages(generate_pages(spark, args.generate_rows), args.input)
@@ -73,14 +77,18 @@ def main(argv=None):
                              persist=True)
         try:
             verdicts = res["partition_verdicts"].collect()
-            (res["violations"].write.mode("append")
+            (res["violations"].write.mode("overwrite")
+                .partitionBy("partition_key")
                 .parquet(f"{args.output}/violations"))
-            (spark.createDataFrame(verdicts).write.mode("append")
+            (spark.createDataFrame(verdicts).write.mode("overwrite")
+                .partitionBy("partition_key")
                 .parquet(f"{args.output}/verdicts"))
             # per-partition column stats (null/min/max/distinct via HLL)
             (column_stats(chunk_df, ["url", "text", "lang"],
                           group_by=args.partition_col, distinct="approx")
-                .write.mode("append").parquet(f"{args.output}/stats"))
+                .withColumnRenamed(args.partition_col, "partition_key")
+                .write.mode("overwrite").partitionBy("partition_key")
+                .parquet(f"{args.output}/stats"))
         finally:
             res["slim"].unpersist()
         counts = {r["partition_key"]: (r["rows_scanned"],
@@ -101,7 +109,10 @@ def main(argv=None):
 
         uniq = uniqueness_violations(pages.select("url"), "url")
         n_dups = uniq.count()
-        uniq.write.mode("append").parquet(f"{args.output}/violations")
+        # own directory + full overwrite: idempotent on re-run (a url
+        # duplicated across crawl days belongs to no single partition)
+        uniq.write.mode("overwrite").parquet(
+            f"{args.output}/uniqueness_violations")
         totals["violations"] += n_dups
     wall = time.monotonic() - t0
     summary = {

@@ -53,10 +53,29 @@ class CheckpointStore:
     def append(self, snapshot_id: str, partition_spec: str,
                rows_scanned: int, violations: int, wall_time_s: float,
                run_id: str):
-        row = [(snapshot_id, partition_spec, rows_scanned, violations,
-                wall_time_s, run_id)]
-        (self.spark.createDataFrame(row, CHECKPOINT_SCHEMA)
+        self.append_many([(snapshot_id, partition_spec, rows_scanned,
+                           violations, wall_time_s, run_id)])
+
+    def append_many(self, rows: list[tuple]):
+        """One parquet file per call regardless of row count — callers
+        batch a chunk's partitions into a single append so a 10^5-partition
+        run produces O(chunks) files, not O(partitions)."""
+        if not rows:
+            return
+        (self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
              .coalesce(1).write.mode("append").parquet(self.path))
+
+    def compact(self):
+        """Rewrite the store as a single file (call between runs when the
+        append history has accumulated many small files)."""
+        if not os.path.isdir(self.path):
+            return
+        df = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+        tmp = self.path.rstrip("/") + ".compact.tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
@@ -126,11 +145,25 @@ def run_resumable_batched(df: DataFrame, partition_col: str,
         chunk_df = df.where(F.col(partition_col).isin(chunk))
         counts = validate_batch(chunk_df)
         per_part_wall = (time.monotonic() - t0) / max(len(chunk), 1)
+        records = []
         for part in chunk:
             spec = f"{partition_col}={part}"
-            rows_scanned, n_viol = counts.get(
-                part, counts.get(str(part), (0, 0)))
-            store.append(snapshot_id, spec, rows_scanned, n_viol,
-                         per_part_wall, run_id)
+            if part in counts:
+                rows_scanned, n_viol = counts[part]
+            elif str(part) in counts:
+                rows_scanned, n_viol = counts[str(part)]
+            else:
+                # NEVER checkpoint a partition the validator did not
+                # report (a silent (0,0) default would mark it complete
+                # and permanently skip it on resume)
+                raise KeyError(
+                    f"validate_batch returned no counts for partition "
+                    f"{part!r} (got keys {sorted(map(str, counts))[:10]}); "
+                    f"refusing to checkpoint it as complete")
+            records.append((snapshot_id, spec, rows_scanned, n_viol,
+                            per_part_wall, run_id))
             validated.append(spec)
+        # one atomic-ish append per chunk: a crash before this line loses
+        # at most one chunk of work; a crash after it re-does nothing
+        store.append_many(records)
     return {"validated": validated, "skipped": skipped}

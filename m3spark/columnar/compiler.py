@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from decimal import Decimal
+from fractions import Fraction
 from typing import Callable
 
 import pandas as pd
@@ -90,6 +91,68 @@ def _type_ok(tname: str, dtype: T.DataType, col: Column) -> Column:
     return F.lit(False)
 
 
+_TWO_53 = 9007199254740992.0  # 2^53: doubles at/above are exact integers
+_DEC38 = T.DecimalType(38, 0)
+
+
+def _huge_multiple_pred(dbl: Column, p: int) -> Column:
+    """|v| >= 2^53 branch: is the value's SHORTEST-ROUND-TRIP decimal
+    (a * 10^k, the same number BigDecimal.valueOf / Decimal(str(v)) sees)
+    divisible by p?  Parse Spark's scientific string form (mantissa 'a'
+    has <= 17 digits, so it fits a long exactly) and reduce mod p with a
+    compile-time 10^k mod p table — pure JVM, exact for any double."""
+    s = F.upper(F.regexp_replace(dbl.cast("string"), "-", ""))
+    mant = F.substring_index(s, "E", 1)
+    expo = F.substring_index(s, "E", -1).cast("int")
+    dot = F.instr(mant, ".")
+    frac_len = F.when(dot > 0, F.length(mant) - dot).otherwise(F.lit(0))
+    k = expo - frac_len  # value = a * 10^k; k >= 0 for integer doubles
+    a = F.regexp_replace(mant, "\\.", "").cast(_DEC38)
+    pow10_mod = F.array(*[F.lit(pow(10, j, p)).cast(_DEC38)
+                          for j in range(340)])  # double exponents < 309
+    m10k = F.element_at(pow10_mod, k + 1)
+    p_lit = F.lit(p).cast(_DEC38)
+    ok = F.pmod((a % p_lit) * m10k, p_lit) == 0
+    # no-E form or k out of table range should be unreachable for
+    # |v| >= 2^53; fail closed (violation) rather than silently pass
+    return F.when(s.contains("E") & (k >= 0) & (k < 340), ok) \
+            .otherwise(F.lit(False))
+
+
+def _multiple_of_pred(col: Column, dt: T.DataType, d: Decimal,
+                      p: int) -> Column:
+    """Exact multipleOf over any numeric Spark type, matching the
+    interpreter's Decimal(str(v)) semantics (jsontypes.is_multiple_of)
+    and the reference's BigDecimal semantics (property.cljc:610-632).
+
+    - integral / decimal columns: native decimal modulo (always exact;
+      no cast that could overflow).
+    - float / double, |v| < 2^53: Spark's double->decimal cast goes
+      through the shortest round-trip string (BigDecimal.valueOf), so
+      when the decimal(38,12) value casts BACK to the same double, it
+      equals Decimal(str(v)) exactly and the decimal modulo is exact.
+      A failed round-trip means str(v) needs >12 fractional digits,
+      which cannot be a multiple of a divisor with <=12 fractional
+      digits -> violation.
+    - float / double, |v| >= 2^53: the shortest-repr value is an
+      integer a*10^k; a multiple of d = p/q (coprime) iff p | a*10^k,
+      checked exactly via modular arithmetic (_huge_multiple_pred).
+    """
+    if not isinstance(dt, (T.FloatType, T.DoubleType)):
+        return (col % F.lit(d)) == 0
+    dbl = col.cast("double")
+    dec = dbl.cast(T.DecimalType(38, 12))
+    small_ok = ((dec % F.lit(d)) == 0) & (dec.cast("double") == dbl)
+    if p == 1:
+        # d = 1/q: every integer (every huge double) is a multiple
+        huge_ok = ~F.isnan(dbl) & (F.abs(dbl) != float("inf"))
+    elif p < 10**18:
+        huge_ok = _huge_multiple_pred(dbl, p)
+    else:  # numerator beyond decimal-long range (pathological divisor)
+        huge_ok = F.lit(False)
+    return F.when(F.abs(dbl) < F.lit(_TWO_53), small_ok).otherwise(huge_ok)
+
+
 def _uri_pred(col: Column) -> Column:
     """format:uri as pure JVM expressions — the north-star hot path stays
     in whole-stage codegen instead of 1 Python call per row.  Mirrors
@@ -105,8 +168,11 @@ def _uri_pred(col: Column) -> Column:
         auth, F.lit(1), F.length(auth) - F.length(hostport) - 1)
     userinfo_ok = F.when(auth.contains("@"),
                          ~userinfo.rlike("[\\[\\]]")).otherwise(F.lit(True))
+    # zone id: check_uri accepts anything after the first '%' inside the
+    # brackets (bad %-escapes are already rejected by pct_ok), so the JVM
+    # rule must be just as permissive — `[^\]]*`, not `[0-9A-Za-z]+`
     bracket_ok = hostport.rlike(
-        "^\\[(" + IPV6_PATTERN + "(%[0-9A-Za-z]+)?"
+        "^\\[(" + IPV6_PATTERN + "(%[^\\]]*)?"
         + "|v[0-9A-Fa-f]+\\..+)\\](:[0-9]*)?$")
     plain_ok = hostport.rlike("^[^\\[\\]:]*(:[0-9]*)?$")
     host_ok = F.when(hostport.startswith("["), bracket_ok).otherwise(plain_ok)
@@ -403,12 +469,30 @@ class ColumnarValidator:
         if mof_kw in sub and isinstance(sub[mof_kw], (int, float)) \
                 and not isinstance(sub[mof_kw], bool):
             d = Decimal(str(sub[mof_kw]))
-            self._add(name, mof_kw, f"{sp}/{mof_kw}",
-                      f"value is not a multiple of {sub[mof_kw]}", "error",
-                      # exact via decimal cast, never float modulo
-                      # (m3 BigDecimal semantics: property.cljc:622-632)
-                      _numeric_only(lambda col, dt, _d=d: (
-                          col.cast(T.DecimalType(38, 12)) % F.lit(_d)) == 0))
+            if d == 0:
+                # interpreter semantics: nothing is a multiple of 0
+                # (and ANSI mode would raise on `% 0`)
+                self._add(name, mof_kw, f"{sp}/{mof_kw}",
+                          f"value is not a multiple of {sub[mof_kw]}",
+                          "error",
+                          _numeric_only(lambda col, dt: F.lit(False)))
+                d = None
+            dt_tuple = d.as_tuple() if d is not None else None
+            if d is not None and (
+                    -dt_tuple.exponent > 12 or len(dt_tuple.digits) > 38):
+                # divisor granularity beyond decimal(38,12): the JVM plan
+                # cannot stay exact — route this schema to the interpreter
+                raise UnsupportedKeyword(
+                    f"{mof_kw} {d} exceeds decimal(38,12) granularity")
+            if d is not None:
+                p = abs(Fraction(d).numerator)
+                self._add(name, mof_kw, f"{sp}/{mof_kw}",
+                          f"value is not a multiple of {sub[mof_kw]}",
+                          "error",
+                          # exact via decimal arithmetic, never float modulo
+                          # (m3 BigDecimal semantics: property.cljc:622-632)
+                          _numeric_only(lambda col, dt, _d=d, _p=p:
+                                        _multiple_of_pred(col, dt, _d, _p)))
 
         if "minLength" in sub:
             v = sub["minLength"]

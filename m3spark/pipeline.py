@@ -46,8 +46,9 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
     if persist:
         slim = slim.persist()
 
-    viol = (slim.select(F.col(key_col), F.explode("violations").alias("v"))
-                .select(key_col,
+    viol = (slim.select(F.col(key_col), "partition_key",
+                        F.explode("violations").alias("v"))
+                .select(key_col, "partition_key",
                         F.col("v.keyword").alias("keyword"),
                         F.col("v.schema_path").alias("schema_path"),
                         F.col("v.doc_path").alias("doc_path"),
@@ -57,6 +58,8 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
         dups = (slim.groupBy(key_col)
                     .agg(F.count(F.lit(1)).alias("dup_count"))
                     .filter(F.col("dup_count") > 1))
+        # a key duplicated ACROSS partitions has no single partition_key
+        # (filled null by allowMissingColumns)
         viol = viol.unionByName(dups.select(
             F.col(key_col),
             F.lit("uniqueItems").alias("keyword"),
@@ -65,7 +68,7 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
             F.concat(F.lit("duplicate key: "),
                      F.col("dup_count").cast("string"),
                      F.lit(" occurrences")).alias("message"),
-            F.lit("error").alias("level")))
+            F.lit("error").alias("level")), allowMissingColumns=True)
 
     verdicts = (slim.groupBy("partition_key")
                     .agg(F.count(F.lit(1)).alias("rows_scanned"),

@@ -324,16 +324,26 @@ class CompiledSchema:
 
         rt = _Rt(self.root_uri)
         # ~10 interpreter frames per application; size the Python limit
-        # to MAX_DEPTH so the explicit guard (clean error) fires first
-        if sys.getrecursionlimit() < _Rt.MAX_DEPTH * 12:
-            sys.setrecursionlimit(_Rt.MAX_DEPTH * 12)
+        # to MAX_DEPTH so the explicit guard (clean error) fires first.
+        # The limit is restored afterwards so the bump never leaks into
+        # the host process (Arrow workers keep their own default between
+        # batches), and it is capped so a pathological document cannot
+        # push the C stack past its guard page before RecursionError.
+        prev_limit = sys.getrecursionlimit()
+        needed = min(_Rt.MAX_DEPTH * 12, 30_000)
         try:
-            errs, _ = self.root(value, "", rt)
-        except (_DepthExceeded, RecursionError):
-            # degenerate $ref cycle with no structural descent (e.g.
-            # {"$ref": "#"}): fail the document rather than the process
-            errs = [Violation("$ref", "", "",
-                              "$ref cycle exceeded recursion limit")]
+            if prev_limit < needed:
+                sys.setrecursionlimit(needed)
+            try:
+                errs, _ = self.root(value, "", rt)
+            except (_DepthExceeded, RecursionError):
+                # degenerate $ref cycle with no structural descent (e.g.
+                # {"$ref": "#"}): fail the document rather than the process
+                errs = [Violation("$ref", "", "",
+                                  "$ref cycle exceeded recursion limit")]
+        finally:
+            if sys.getrecursionlimit() != prev_limit:
+                sys.setrecursionlimit(prev_limit)
         errors = [e for e in errs if e.level == "error"]
         warnings = [e for e in errs if e.level == "warning"]
         infos = [e for e in errs if e.level == "info"]

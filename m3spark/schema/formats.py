@@ -399,13 +399,14 @@ FORMATS: dict[str, "callable"] = {
 
 # Formats whose semantics survive a single anchored Java regex — used by the
 # columnar engine's JVM rlike fast path.  Anything not here goes through the
-# Arrow-batched pandas-UDF path.
+# Arrow-batched pandas-UDF path.  NOT here (would diverge from the Python
+# checkers): `date` (a regex can't express month lengths / leap years, so
+# 2024-02-30 would pass rlike but fail check_date) and `hostname` (253-char
+# total limit + punycode label decode).
 SPARK_RLIKE: dict[str, str] = {
     "uuid": "^" + _UUID_PATTERN + "$",
     "json-pointer": "^" + _JSON_POINTER_PATTERN + "$",
     "relative-json-pointer": "^" + _REL_JSON_POINTER_PATTERN + "$",
     "ipv4": r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$",
-    "date": r"^\d{4}-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])$",
-    "hostname": r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$",
     "ipv6": "^" + IPV6_PATTERN + "$",
 }

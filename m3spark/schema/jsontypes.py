@@ -142,13 +142,20 @@ def json_length(s: str) -> int:
 
 def is_multiple_of(v: Any, d: Any) -> bool:
     """Exact multiple check via Decimal, avoiding float modulo error
-    (reference: property.cljc:610-632 uses BigDecimal)."""
+    (reference: property.cljc:610-632 uses BigDecimal).  The context
+    precision is widened so remainders across the full double exponent
+    range stay exact (1e300 % 0.01 needs ~320 digits; the default
+    28-digit context raises InvalidOperation, which BigDecimal — being
+    arbitrary-precision — never does)."""
+    import decimal
     try:
-        dv = Decimal(str(v))
-        dd = Decimal(str(d))
-        if dd == 0:
-            return False
-        return (dv % dd) == 0
+        with decimal.localcontext() as ctx:
+            ctx.prec = 700
+            dv = Decimal(str(v))
+            dd = Decimal(str(d))
+            if dd == 0:
+                return False
+            return (dv % dd) == 0
     except (InvalidOperation, ValueError, ArithmeticError):
         try:
             return float(v) % float(d) == 0.0

@@ -16,7 +16,11 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "m3spark", cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # this sandbox oversubscribes vCPUs above ~16 threads (local[32]
+        # is measurably SLOWER than local[16]); honor an explicit
+        # SPARK_GRAFT_CPUS but default to at most 16
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else min(16, os.cpu_count() or 16)
     if shuffle_partitions is None:
         # scale shuffle width with cores (2x for scheduling overlap)
         shuffle_partitions = max(8, cores * 2)
