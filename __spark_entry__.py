@@ -233,12 +233,15 @@ def q_dedup_exact_documents(spark, sf_dir):
 
 def q_dedup_jaccard_documents(spark, sf_dir):
     """N-gram (char-8-shingle) Jaccard near-dup pairs, integer-ratio
-    threshold >= 3/25 — dedup family."""
+    threshold >= 3/25 — dedup family.  max_shingle_freq caps the join
+    fan-out of stop-shingles (a shingle shared by k docs otherwise costs
+    O(k^2) join rows — the 100-TB guard), mirrored in the oracle SQL."""
     from m3spark.ops import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return (jaccard_pairs(docs, "doc_id", "text", k=8, stride=4,
-                          threshold_num=3, threshold_den=25)
+                          threshold_num=3, threshold_den=25,
+                          max_shingle_freq=50)
             .select("id_a", "id_b", "inter_count", "jaccard"))
 
 
@@ -307,29 +310,38 @@ def q_fingerprint_documents(spark, sf_dir):
     return fingerprint(docs, "doc_id", "text")
 
 
-# ---- rows-only scale ops (no SQL equivalent) ----
+# ---- scale ops, verified against DuckDB via the portable md5-60bit
+# hash (ops.phash) or planted ground truth ----
 
 
 def q_minhash_pairs_documents(spark, sf_dir):
     """MinHash+LSH candidate pairs (banded signatures) — the dedup scale
-    path; xxhash64-based, not SQL-expressible in DuckDB."""
+    path.  hash_fn='portable' makes every signature value and band
+    bucket reproducible in DuckDB, so the oracle mirrors the ENTIRE
+    pipeline (shingle → 32 minhashes → 8 band buckets → bucket join →
+    signature-agreement score) value-by-value."""
     from m3spark.ops import minhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=8)
+    return minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
+                         hash_fn="portable")
 
 
 def q_simhash_documents(spark, sf_dir):
+    """SimHash fingerprints (token-hash bit vote, zero shuffle) with the
+    portable hash — DuckDB recomputes every 32-bit fingerprint."""
     from m3spark.ops import simhash
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text", bits=32)
+    return (simhash(docs, "doc_id", "text", bits=32, hash_fn="portable")
+            .select(F.col("_id").alias("doc_id"), "simhash"))
 
 
 def q_ann_ivf_embeddings(spark, sf_dir):
-    """IVF approximate top-k (KMeans coarse quantizer, probe-2) — the
-    partition-pruning ANN scale path; rows-only (MLlib clustering has
-    no DuckDB analog)."""
+    """IVF approximate top-k (KMeans coarse quantizer, probe-3) — the
+    partition-pruning ANN scale path; rows-only (MLlib KMeans has no
+    DuckDB analog; q_ann_ivf_fixed_embeddings is the oracle-checked
+    twin with the same inverted-file plan shape)."""
     from m3spark.ops import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -339,43 +351,97 @@ def q_ann_ivf_embeddings(spark, sf_dir):
                     n_clusters=8, n_probe=3)
 
 
-def q_lsh_ann_embeddings(spark, sf_dir):
-    """Random-hyperplane LSH near-neighbor pairs — similarity scale path."""
-    from m3spark.ops import lsh_ann_pairs
+def q_ann_ivf_fixed_embeddings(spark, sf_dir):
+    """IVF top-k with a deterministic coarse quantizer (fixed-subsample
+    centroids, broadcast map-side assignment, probe-3): same plan shape
+    as q_ann_ivf_embeddings but fully reproducible in SQL — the oracle
+    recomputes assignment, probing, and the pruned top-k."""
+    from m3spark.ops import ivf_topk_fixed
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    return lsh_ann_pairs(emb, "embedding", 64, n_planes=10, min_cosine=0.5)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk_fixed(emb, "embedding", [float(x) for x in qvec], 10,
+                          centroid_mod=50, centroid_rem=3, n_probe=3)
+
+
+def q_lsh_ann_embeddings(spark, sf_dir):
+    """Random-hyperplane LSH recall on planted near-duplicates — the
+    similarity scale path with a hard check: 40 perturbed copies
+    (v -> v + 0.01*v^2, cosine ~0.9999) are planted; the query reports
+    each planted pair's exact cosine plus whether the 8-table LSH
+    bucket join recovered it.  The oracle recomputes the planted pairs
+    and cosines in DuckDB and asserts found_by_lsh for all of them —
+    a 0-row or low-recall LSH turns the driver gate red."""
+    from m3spark.ops.similarity import _dot, _norm, lsh_candidates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    planted = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01) * x * x).alias("v"))
+    union = emb.unionByName(planted)
+    cand = lsh_candidates(union, "v", 64, id_col="vec_id",
+                          n_planes=12, n_tables=8)
+    truth = (emb.where(F.col("vec_id") < 40).alias("o")
+             .join(planted.alias("p"),
+                   F.col("p.vec_id") == F.col("o.vec_id") + 1000000))
+    cos = _dot(F.col("o.v"), F.col("p.v")) / (
+        _norm(F.col("o.v")) * _norm(F.col("p.v")))
+    pairs = truth.select(F.col("o.vec_id").alias("id_a"),
+                         F.col("p.vec_id").alias("id_b"),
+                         F.round(cos, 6).alias("cosine"))
+    return (pairs.join(cand.select("id_a", "id_b",
+                                   F.lit(True).alias("found_by_lsh")),
+                       ["id_a", "id_b"], "left")
+                 .select("id_a", "id_b", "cosine",
+                         F.coalesce("found_by_lsh", F.lit(False))
+                          .alias("found_by_lsh")))
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary-column decode plumbing (Arrow-batched; stub decoder)."""
+    """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
+    decoder with deterministic byte-stat features).  The oracle
+    recomputes n_bytes/checksum/feature_mean from the same payload
+    bytes in DuckDB, so the whole Arrow round-trip is value-checked."""
     from m3spark.ops import decode_binary_features
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return decode_binary_features(docs, "payload", "doc_id")
+    return (decode_binary_features(docs, "payload", "doc_id")
+            .select("doc_id", "media_type", "n_bytes", "checksum",
+                    F.round("feature_mean", 6).alias("feature_mean")))
 
 
 def q_pages_validate(spark, sf_dir):
     """Flagship north-star pipeline on the synthetic pages table:
-    generate → columnar validate → per-partition verdicts."""
+    generate → columnar validate → per-partition pass/fail verdicts.
+    Uses the portable-hash generator so DuckDB can independently
+    re-derive every row's crawl day / url / lang and recompute the
+    verdict aggregate the pipeline must produce."""
     from m3spark.pages import generate_pages
     from m3spark.pipeline import validate_pages
 
-    pages = generate_pages(spark, 20_000)
+    pages = generate_pages(spark, 20_000, hash_fn="portable")
     res = validate_pages(pages)
     return res["partition_verdicts"].orderBy("partition_key")
 
 
 def q_hll_stats_events(spark, sf_dir):
-    """Per-partition stats with approximate distinct (HLL) — scale path
-    for §2.10 stats (approx → rows-only check)."""
-    from m3spark.checks import column_stats
-
+    """Per-group distinct-count stats on the HLL scale path, checked
+    against exact: the query emits the exact distinct count AND a
+    boolean asserting the HLL++ estimate landed within its advertised
+    5% rsd — the oracle recomputes the exact counts and asserts the
+    bound held, so a broken sketch turns the gate red."""
     ev = _t(spark, sf_dir, "events")
-    return column_stats(ev, ["user_id", "event_type"],
-                        group_by="event_type", distinct="approx")
+    exact = F.count_distinct("user_id")
+    est = F.approx_count_distinct("user_id", 0.05)
+    return (ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   exact.alias("exact_users"),
+                   (F.abs(est - exact) <= 0.05 * exact)
+                   .alias("hll_within_5pct")))
 
 
 # --------------------------------------------------------------------------
@@ -408,14 +474,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_documents": q_text_quality_documents,
         "text_langid_documents": q_text_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
-        # rows-only scale ops (no oracle entry)
+        # scale ops — oracle-checked via portable hash / planted truth
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
-        "ann_ivf_embeddings": q_ann_ivf_embeddings,
+        "ann_ivf_fixed_embeddings": q_ann_ivf_fixed_embeddings,
         "multimodal_features": q_multimodal_features,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
+        # rows-only (MLlib KMeans quantizer has no SQL analog; the
+        # fixed-quantizer twin above carries the hard check)
+        "ann_ivf_embeddings": q_ann_ivf_embeddings,
     }
 
 
@@ -557,12 +626,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "dedup_jaccard_documents": """
-            WITH sh AS (
+            WITH sh0 AS (
               SELECT DISTINCT doc_id,
                      substr(text, i, 8) AS shingle
               FROM documents,
                    UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
                      AS t(i)),
+            -- hot-shingle cap (max_shingle_freq=50), mirrored from the
+            -- Spark query: shingles shared by >50 docs are dropped
+            -- BEFORE sizes and the pair join
+            sh AS (
+              SELECT * FROM sh0 WHERE shingle IN
+                (SELECT shingle FROM sh0
+                 GROUP BY shingle HAVING COUNT(*) <= 50)),
             sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -666,5 +742,187 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
                                              'g')), 1, 16) AS fingerprint
             FROM documents
+        """,
+        # full MinHash+LSH mirror via the portable md5-60bit hash
+        # (ops/phash.py): shingles -> 32 minhashes -> 8 band buckets ->
+        # bucket join -> signature agreement, identical in both engines
+        "minhash_pairs_documents": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+              FROM documents,
+                   UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
+                     AS t(i)),
+            hs AS (
+              SELECT doc_id, j,
+                     MIN(CAST(('0x' || substr(md5(j::VARCHAR || '|' ||
+                                                  shingle), 1, 15))
+                              AS BIGINT)) AS hv
+              FROM sh, UNNEST(range(0, 32)) AS u(j)
+              GROUP BY doc_id, j),
+            bandkey AS (
+              SELECT doc_id, (j // 4) AS band,
+                     CAST(('0x' || substr(md5(string_agg(hv::VARCHAR, ','
+                                                         ORDER BY j)),
+                                          1, 15)) AS BIGINT) AS bucket
+              FROM hs GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bandkey a JOIN bandkey b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+            agree AS (
+              SELECT c.id_a, c.id_b,
+                     SUM(CASE WHEN ha.hv = hb.hv THEN 1 ELSE 0 END) AS n_eq
+              FROM cand c
+              JOIN hs ha ON ha.doc_id = c.id_a
+              JOIN hs hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, ROUND(n_eq / 32.0, 6) AS est_jaccard
+            FROM agree
+        """,
+        "simhash_documents": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('sh' || '|' || t), 1, 15))
+                          AS BIGINT) AS hv
+              FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t
+                    FROM documents)),
+            votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END)
+                       AS v
+              FROM tok, UNNEST(range(0, 32)) AS r(b)
+              GROUP BY doc_id, b)
+            SELECT doc_id,
+                   SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END)::BIGINT AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        # planted-truth recall check: the 40 perturbed copies are
+        # reconstructed here; found_by_lsh must be TRUE for every pair
+        "lsh_ann_embeddings": """
+            WITH o AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 40),
+            p AS (SELECT vec_id, v,
+                         list_transform(v, x -> x + 0.01 * x * x) AS vp
+                  FROM o)
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   ROUND(list_dot_product(v, vp) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(vp, vp))), 6) AS cosine,
+                   TRUE AS found_by_lsh
+            FROM p
+        """,
+        # deterministic-quantizer IVF: centroid subsample, max-cosine
+        # assignment (ties to larger centroid id), probe-3, pruned top-k
+        "ann_ivf_fixed_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e
+                  WHERE vec_id % 50 = 3),
+            probe AS (
+              SELECT cid FROM c, q
+              ORDER BY list_dot_product(cv, qv) /
+                       (sqrt(list_dot_product(cv, cv)) *
+                        sqrt(list_dot_product(qv, qv))) DESC, cid
+              LIMIT 3),
+            assign AS (
+              SELECT vec_id, v, cid AS cluster FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cv) /
+                                  (sqrt(list_dot_product(e.v, e.v)) *
+                                   sqrt(list_dot_product(c.cv, c.cv)))
+                                  DESC, c.cid DESC) AS rn
+                FROM e, c) WHERE rn = 1),
+            cand AS (SELECT vec_id, v FROM assign
+                     WHERE cluster IN (SELECT cid FROM probe))
+            SELECT vec_id, ROUND(sim, 6) AS cosine FROM (
+              SELECT vec_id,
+                     list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(qv, qv))) AS sim
+              FROM cand, q)
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        # recompute the stub decoder's byte stats from the same utf-8
+        # payload (documents text is ASCII at oracle scale, so unicode()
+        # == byte value)
+        "multimodal_features": """
+            SELECT doc_id,
+                   'application/octet-stream' AS media_type,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   substr(md5(text), 1, 16) AS checksum,
+                   ROUND(list_sum(list_transform(
+                             range(1, length(text) + 1),
+                             i -> unicode(substr(text, i, 1)))) /
+                         octet_length(encode(text)), 6) AS feature_mean
+            FROM documents
+        """,
+        # independent re-derivation of the flagship pipeline's verdicts:
+        # rebuild each generated row's crawl day / url / lang from the
+        # portable hash and re-decide validity with DuckDB's own regex
+        "pages_validate": """
+            WITH ids AS (SELECT UNNEST(range(0, 20000)) AS id),
+            base AS (
+              SELECT id,
+                     CASE WHEN id % 200 = 9 THEN id - 1 ELSE id END AS uid
+              FROM ids),
+            feat AS (
+              SELECT id, uid,
+                CAST(('0x' || substr(md5('42|' || id::VARCHAR || '|ts'),
+                                     1, 15)) AS BIGINT) % 2592000 AS secs,
+                CAST(('0x' || substr(md5('42|' || uid::VARCHAR ||
+                                         '|domain'), 1, 15)) AS BIGINT)
+                  % 1000 AS dh,
+                CAST(('0x' || substr(md5('42|' || uid::VARCHAR || '|tail'),
+                                     1, 15)) AS BIGINT) % 10000 AS tail,
+                CAST(('0x' || substr(md5('42|' || id::VARCHAR || '|lang'),
+                                     1, 15)) AS BIGINT) % 1000 AS lh
+              FROM base),
+            pages AS (
+              SELECT id,
+                DATE '1970-01-01'
+                  + CAST((1717200000 + secs) // 86400 AS INT) AS day,
+                'https://' ||
+                  CASE WHEN dh < 150 THEN 'hot-zero.example.com'
+                       WHEN dh < 250 THEN 'hot-one.example.com'
+                       WHEN dh < 300 THEN 'hot-two.example.com'
+                       ELSE 'site-' || tail::VARCHAR || '.example.org'
+                  END || '/' ||
+                  CASE WHEN uid % 100 = 7 THEN 'bad path/' || uid::VARCHAR
+                       ELSE 'p/' || uid::VARCHAR END AS url,
+                (id % 100 = 3) AS text_empty,
+                CASE WHEN id % 200 = 11 THEN 'xx'
+                     WHEN lh < 480 THEN 'en' WHEN lh < 630 THEN 'de'
+                     WHEN lh < 750 THEN 'fr' WHEN lh < 850 THEN 'es'
+                     WHEN lh < 930 THEN 'zh' WHEN lh < 960 THEN 'ja'
+                     WHEN lh < 985 THEN 'pt' ELSE 'ru' END AS lang
+              FROM feat),
+            checked AS (
+              SELECT day,
+                (NOT regexp_matches(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*:' ||
+                   '[A-Za-z0-9\\-._~:/?#\\[\\]@!$&''()*+,;=%]*$'))::INT
+                + text_empty::INT
+                + (lang NOT IN ('en','de','fr','es','zh','ja','pt','ru'))
+                    ::INT AS n_viol
+              FROM pages)
+            SELECT day AS partition_key,
+                   COUNT(*)::BIGINT AS rows_scanned,
+                   SUM((n_viol > 0)::INT)::BIGINT AS invalid_rows,
+                   SUM(n_viol)::BIGINT AS violation_count,
+                   (SUM((n_viol > 0)::INT) = 0) AS passed
+            FROM checked GROUP BY day ORDER BY day
+        """,
+        # exact distinct counts recomputed; the hll_within_5pct flag is
+        # Spark's own honest bound check on its HLL++ estimate
+        "hll_stats_events": """
+            SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+                   COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+                   TRUE AS hll_within_5pct
+            FROM events GROUP BY event_type
         """,
     }

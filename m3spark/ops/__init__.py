@@ -9,6 +9,9 @@ from .dedup import (  # noqa: F401
     char_shingles, exact_duplicates, jaccard_pairs, minhash_pairs,
     minhash_signatures, simhash,
 )
-from .similarity import cosine_topk, ivf_topk, lsh_ann_pairs  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk, ivf_topk, ivf_topk_fixed, lsh_ann_pairs, lsh_candidates,
+)
+from .phash import portable_hash60  # noqa: F401
 from .text import fingerprint, lang_id, quality, token_stats  # noqa: F401
 from .multimodal import decode_binary_features  # noqa: F401

@@ -92,20 +92,31 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, k: int = 8,
-                       stride: int = 4) -> DataFrame:
+                       stride: int = 4,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """(id, signature: array<bigint>) — min over shingles of
-    xxhash64(shingle, salt_i) per salt.
+    hash(shingle, salt_i) per salt.
+
+    ``hash_fn``: 'xxhash64' (default, fastest JVM op) or 'portable'
+    (md5-60bit via ops.phash — bit-identical in DuckDB, so the whole
+    MinHash pipeline is oracle-verifiable value-by-value).
 
     Explode-then-aggregate shape: shingles are computed ONCE per row,
     then num_hashes MIN aggregates run with map-side partial combine —
     one shuffle of one row per doc, regardless of text size.  (The
     expression-only alternative — num_hashes array_min(transform(...)) —
     recomputes the shingle array per salt: ~30x the work.)"""
+    from m3spark.ops.phash import portable_hash60
+
+    def h(i):
+        if hash_fn == "portable":
+            return portable_hash60(F.col("shingle"), salt=str(i))
+        return F.xxhash64(F.col("shingle"), F.lit(i))
+
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), k, stride)).alias("shingle"))
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
-            for i in range(num_hashes)]
+    aggs = [F.min(h(i)).alias(f"_h{i}") for i in range(num_hashes)]
     return (sh.groupBy("_id").agg(*aggs)
               .select("_id", F.array(*[F.col(f"_h{i}")
                                        for i in range(num_hashes)])
@@ -114,18 +125,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
                   num_hashes: int = 32, bands: int = 8,
-                  k: int = 8, stride: int = 4) -> DataFrame:
+                  k: int = 8, stride: int = 4,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """LSH candidate pairs: signatures banded into ``bands`` buckets;
     pairs sharing any band bucket are candidates, scored by signature
     agreement (estimated Jaccard).  Join is on (band, bucket-hash) —
-    bounded fan-out, scales to billions of docs."""
+    bounded fan-out, scales to billions of docs.  With
+    ``hash_fn='portable'`` the band bucket is md5 of the comma-joined
+    band slice, reproducible in DuckDB."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, stride)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, stride,
+                              hash_fn=hash_fn)
+
+    def bucket_of(b):
+        sl = F.slice(F.col("signature"), b * rows_per_band + 1,
+                     rows_per_band)
+        if hash_fn == "portable":
+            joined = F.array_join(F.transform(sl, lambda x:
+                                              x.cast("string")), ",")
+            return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10) \
+                    .cast("long")
+        return F.xxhash64(sl.cast("string"))
+
     band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.xxhash64(F.slice(F.col("signature"),
-                                    b * rows_per_band + 1, rows_per_band)
-                            .cast("string")).alias("bucket"))
+        F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
         for b in range(bands)]
     exploded = (sigs.select("_id", "signature",
                             F.explode(F.array(*band_cols)).alias("bb"))
@@ -151,13 +174,20 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,
-            bits: int = 32) -> DataFrame:
-    """(id, simhash: bigint) — per-token xxhash64, bit-vote, sign fold.
+            bits: int = 32, hash_fn: str = "xxhash64") -> DataFrame:
+    """(id, simhash: bigint) — per-token hash, bit-vote, sign fold.
     Near-dups differ in few bits (compare via bit_count(a ^ b)).
-    Single pass, zero shuffle, pure JVM."""
+    Single pass, zero shuffle, pure JVM.  ``hash_fn='portable'`` uses
+    the md5-60bit hash reproducible in DuckDB (oracle-verifiable)."""
+    from m3spark.ops.phash import portable_hash60
+
     one = F.lit(1).cast("long")
     tokens = F.split(F.col(text_col), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    if hash_fn == "portable":
+        hashes = F.transform(tokens,
+                             lambda t: portable_hash60(t, salt="sh"))
+    else:
+        hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
     def _vote(b):
         return lambda acc, h: acc + F.when(

@@ -39,10 +39,12 @@ def _decode_payload(raw: bytes) -> dict:
         mt = "audio/wav"
     else:
         mt = "application/octet-stream"
+    # unrounded: callers choose presentation rounding (Spark F.round's
+    # HALF_UP matches DuckDB ROUND; Python's banker's round does not)
     mean = (sum(raw) / len(raw)) if raw else 0.0
     return {"media_type": mt, "n_bytes": len(raw),
             "checksum": hashlib.md5(raw).hexdigest()[:16],
-            "feature_mean": round(mean, 6)}
+            "feature_mean": mean}
 
 
 def decode_binary_features(df: DataFrame, binary_col: str,

@@ -97,22 +97,83 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 12, seed: int = 42):
     return bucket
 
 
-def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,
-                  id_col: str = "vec_id", n_planes: int = 12,
-                  min_cosine: float = 0.8, seed: int = 42) -> DataFrame:
-    """Approximate near-neighbor pairs: bucket by random hyperplanes,
-    compare only within buckets, keep cosine >= min_cosine.
-    Returns (id_a, id_b, cosine)."""
-    with_bucket = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        lsh_bucket(F.col(vec_col), dim, n_planes, seed).alias("_bucket"))
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    pair_cos = _dot(F.col("a._v"), F.col("b._v")) / (
-        _norm(F.col("a._v")) * _norm(F.col("b._v")))
-    return (a.join(b, (F.col("a._bucket") == F.col("b._bucket"))
+def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
+                   id_col: str = "vec_id", n_planes: int = 12,
+                   n_tables: int = 1, seed: int = 42) -> DataFrame:
+    """Candidate pairs from ``n_tables`` independent hash tables (the
+    standard recall amplifier: a pair is a candidate if ALL plane signs
+    agree in ANY table).  One explode (n_tables rows/vector) + one
+    equi-join on (table, bucket) — no all-pairs stage anywhere.
+    Returns distinct (id_a, id_b, v_a, v_b)."""
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket(F.col(vec_col), dim, n_planes,
+                            seed + 1000 * t).alias("bucket"))
+        for t in range(n_tables)])
+    tb = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                    F.explode(buckets).alias("tb"))
+            .select("_id", "_v", F.col("tb.t").alias("t"),
+                    F.col("tb.bucket").alias("bucket")))
+    a, b = tb.alias("a"), tb.alias("b")
+    return (a.join(b, (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a._id") < F.col("b._id")))
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"),
-                     F.round(pair_cos, 6).alias("cosine"))
-             .where(F.col("cosine") >= min_cosine))
+                     F.col("a._v").alias("v_a"),
+                     F.col("b._v").alias("v_b"))
+             .distinct())
+
+
+def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,
+                  id_col: str = "vec_id", n_planes: int = 12,
+                  min_cosine: float = 0.8, seed: int = 42,
+                  n_tables: int = 1) -> DataFrame:
+    """Approximate near-neighbor pairs: bucket by random hyperplanes
+    (``n_tables`` tables), compare only within buckets, keep cosine >=
+    min_cosine.  Returns (id_a, id_b, cosine)."""
+    cand = lsh_candidates(df, vec_col, dim, id_col, n_planes, n_tables,
+                          seed)
+    pair_cos = _dot(F.col("v_a"), F.col("v_b")) / (
+        _norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (cand.select("id_a", "id_b",
+                        F.round(pair_cos, 6).alias("cosine"))
+                .where(F.col("cosine") >= min_cosine))
+
+
+def ivf_topk_fixed(df: DataFrame, vec_col: str, query: list[float], k: int,
+                   id_col: str = "vec_id", centroid_mod: int = 50,
+                   centroid_rem: int = 3, n_probe: int = 3) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer: the centroids are
+    the data vectors whose id satisfies ``id % centroid_mod ==
+    centroid_rem`` (a fixed subsample — the classic 'sample your
+    centroids' IVF bootstrap, minus the k-means refinement, so the whole
+    plan is reproducible in plain SQL for the oracle gate; ivf_topk is
+    the k-means-refined production variant).
+
+    Plan shape at scale: centroids are broadcast (tiny), assignment is a
+    map-side argmax per vector (no shuffle), probe prunes to n_probe
+    inverted lists, then exact top-k scans only those lists."""
+    cents = (df.where((F.col(id_col) % centroid_mod) == centroid_rem)
+               .select(F.col(id_col).alias("_cid"),
+                       F.col(vec_col).alias("_cv")))
+    # assign each vector to its max-cosine centroid: broadcast join +
+    # max_by, partial-aggregated map-side
+    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cos_to_cent = _dot(F.col("_v"), F.col("_cv")) / (
+        _norm(F.col("_v")) * _norm(F.col("_cv")))
+    assigned = (e.join(F.broadcast(cents))
+                 .select("_id", "_v", "_cid", cos_to_cent.alias("_cc"))
+                 .groupBy("_id")
+                 .agg(F.max_by("_cid", F.struct("_cc", "_cid")).alias("_cluster"),
+                      F.first("_v").alias("_v")))
+    # probe: the n_probe centroids nearest the query
+    qcos = cosine_similarity(F.col("_cv"), query)
+    probe = [r["_cid"] for r in
+             cents.select("_cid", qcos.alias("_qc"))
+                  .orderBy(F.col("_qc").desc(), "_cid")
+                  .limit(n_probe).collect()]
+    cand = (assigned.where(F.col("_cluster").isin(probe))
+                    .select(F.col("_id").alias(id_col),
+                            F.col("_v").alias(vec_col)))
+    return cosine_topk(cand, vec_col, query, k, id_col)

@@ -57,10 +57,28 @@ def _h(*cols) -> F.Column:
     return F.abs(F.xxhash64(F.lit(SEED), *cols))
 
 
+def _h_portable(*cols) -> F.Column:
+    """Portable twin of :func:`_h` (md5-60bit, ops.phash): DuckDB can
+    reproduce it, so the driver's oracle gate can re-derive the table's
+    structural fields (crawl day, lang band, domain) and independently
+    recompute the per-partition verdicts the flagship pipeline emits."""
+    from m3spark.ops.phash import portable_hash60
+    return portable_hash60(*cols, salt=str(SEED))
+
+
 def generate_pages(spark: SparkSession, n_rows: int, drifted: bool = False,
-                   n_partitions: int | None = None) -> DataFrame:
+                   n_partitions: int | None = None,
+                   hash_fn: str = "xxhash64") -> DataFrame:
     """Deterministic pages table of ``n_rows`` rows, built entirely from
-    JVM expressions over ``spark.range`` (scales linearly, no shuffle)."""
+    JVM expressions over ``spark.range`` (scales linearly, no shuffle).
+
+    ``hash_fn='portable'`` derives the structural fields (url domain,
+    crawl timestamp, lang band) from the md5-60bit portable hash instead
+    of xxhash64 — same shape and anomaly rates, but reproducible in
+    DuckDB SQL for oracle cross-checks.  The word sequence of ``text``
+    stays on xxhash64 either way (content doesn't affect validity, only
+    the planted emptiness does)."""
+    h = _h_portable if hash_fn == "portable" else _h
     if n_partitions is None:
         n_partitions = max(8, spark.sparkContext.defaultParallelism)
     df = spark.range(0, n_rows, 1, n_partitions)
@@ -70,12 +88,12 @@ def generate_pages(spark: SparkSession, n_rows: int, drifted: bool = False,
     uid = F.when(sid % 200 == 9, sid - 1).otherwise(sid)
 
     # Zipf-ish domains: 30% of rows on 3 hot domains, long tail of 10k
-    dh = _h(uid, F.lit("domain")) % 1000
+    dh = h(uid, F.lit("domain")) % 1000
     domain = (F.when(dh < 150, "hot-zero.example.com")
                .when(dh < 250, "hot-one.example.com")
                .when(dh < 300, "hot-two.example.com")
                .otherwise(F.concat(F.lit("site-"),
-                                   (_h(uid, F.lit("tail")) % 10000)
+                                   (h(uid, F.lit("tail")) % 10000)
                                    .cast("string"),
                                    F.lit(".example.org"))))
     # ~1% malformed urls (space in path → fails format: uri)
@@ -85,7 +103,7 @@ def generate_pages(spark: SparkSession, n_rows: int, drifted: bool = False,
     url = F.concat(F.lit("https://"), domain, F.lit("/"), path)
 
     # 30-day crawl window from a fixed epoch
-    secs = (_h(sid, F.lit("ts")) % (30 * 86400)).cast("long")
+    secs = (h(sid, F.lit("ts")) % (30 * 86400)).cast("long")
     warc_ts = F.timestamp_seconds(F.lit(1717200000) + secs)  # 2024-06-01 UTC
 
     # text: word sequence; length log-ish via pow(2, 3..10)
@@ -105,7 +123,7 @@ def generate_pages(spark: SparkSession, n_rows: int, drifted: bool = False,
 
     # lang mix (baseline vs drifted), ~0.5% outside the enum
     cum = _LANG_CUM_DRIFTED if drifted else _LANG_CUM
-    lh = _h(sid, F.lit("lang")) % 1000
+    lh = h(sid, F.lit("lang")) % 1000
     lang = F.lit(_LANGS[-1])
     for name, hi in reversed(list(zip(_LANGS, cum))):
         lang = F.when(lh < hi, name).otherwise(lang)
