@@ -61,13 +61,15 @@ EVENT_PROPS_SCHEMA = {
 
 def q_val_documents(spark, sf_dir):
     """Columnar keyword validation (enum/pattern/bounds/minLength/required)
-    over the documents table — SURVEY.md §2.1-2.3."""
+    over the documents table — SURVEY.md §2.1-2.3.  Violation rows carry
+    the offending instance value (m3 errors include :document —
+    util.cljc:106-115)."""
     from m3spark.columnar import ColumnarValidator
 
     docs = _t(spark, sf_dir, "documents")
     cv = ColumnarValidator(DOCUMENTS_SCHEMA, format_assertion=True)
     return (cv.violation_rows(docs, "doc_id")
-              .select("doc_id", "keyword", "schema_path"))
+              .select("doc_id", "keyword", "schema_path", "value"))
 
 
 def q_val_lineitem(spark, sf_dir):
@@ -492,29 +494,34 @@ def oracle_sql() -> dict[str, str]:
     return {
         "val_documents": """
             WITH d AS (SELECT * FROM documents)
-            SELECT doc_id, keyword, schema_path FROM (
-              SELECT doc_id, 'required' AS keyword, '/required' AS schema_path
+            SELECT doc_id, keyword, schema_path, value FROM (
+              SELECT doc_id, 'required' AS keyword,
+                     '/required' AS schema_path, NULL AS value
                 FROM d WHERE doc_id IS NULL OR text IS NULL OR lang IS NULL
                           OR source IS NULL OR n_chars IS NULL
               UNION ALL
-              SELECT doc_id, 'minimum', '/properties/doc_id/minimum'
+              SELECT doc_id, 'minimum', '/properties/doc_id/minimum',
+                     doc_id::VARCHAR
                 FROM d WHERE doc_id < 0
               UNION ALL
-              SELECT doc_id, 'enum', '/properties/lang/enum'
+              SELECT doc_id, 'enum', '/properties/lang/enum', lang
                 FROM d WHERE lang IS NOT NULL
                          AND lang NOT IN ('en','de','fr','es')
               UNION ALL
-              SELECT doc_id, 'pattern', '/properties/source/pattern'
+              SELECT doc_id, 'pattern', '/properties/source/pattern', source
                 FROM d WHERE source IS NOT NULL
                          AND NOT regexp_matches(source, '^src[0-9]$')
               UNION ALL
-              SELECT doc_id, 'minimum', '/properties/n_chars/minimum'
+              SELECT doc_id, 'minimum', '/properties/n_chars/minimum',
+                     n_chars::VARCHAR
                 FROM d WHERE n_chars < 50
               UNION ALL
-              SELECT doc_id, 'maximum', '/properties/n_chars/maximum'
+              SELECT doc_id, 'maximum', '/properties/n_chars/maximum',
+                     n_chars::VARCHAR
                 FROM d WHERE n_chars > 500
               UNION ALL
-              SELECT doc_id, 'minLength', '/properties/text/minLength'
+              SELECT doc_id, 'minLength', '/properties/text/minLength',
+                     substr(text, 1, 128)
                 FROM d WHERE text IS NOT NULL AND length(text) < 1
             ) ORDER BY doc_id, keyword
         """,

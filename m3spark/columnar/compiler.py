@@ -210,15 +210,35 @@ def _format_pred(fmt: str) -> Callable[[Column, T.DataType], Column]:
 
 
 def _pattern_pred(pattern: str, force_python: bool) -> Callable:
-    if not force_python and "\\c" not in pattern:
-        fn = lambda col, dt: col.rlike(pattern)  # noqa: E731
+    """ECMA pattern predicate.  Fast path: the ECMA->Java translation
+    (schema/ecma.py) runs as JVM rlike — `$`, `.`, `\\cX`, `\\u{..}`,
+    named groups and empty classes are all rewritten to exact Java
+    equivalents, so the JVM path carries ECMA semantics instead of
+    approximating them.  An ECMA-invalid pattern compiles to no check
+    (the interpreter's c_pattern ignores it identically)."""
+    import re as _re
+
+    from m3spark.schema.ecma import java_pattern
+
+    if not force_python:
+        try:
+            jpat = java_pattern(pattern)
+        except _re.error:
+            # ECMA-invalid: both engines ignore the keyword
+            fn = lambda col, dt: F.lit(True)  # noqa: E731
+            fn._jvm = True
+            return fn
+        fn = lambda col, dt: col.rlike(jpat)  # noqa: E731
         fn._jvm = True
         return fn
 
     @F.pandas_udf(T.BooleanType())
     def pat_udf(s: pd.Series) -> pd.Series:
         from m3spark.schema.core import compile_ecma_pattern  # noqa: PLC0415
-        rx = compile_ecma_pattern(pattern)
+        try:
+            rx = compile_ecma_pattern(pattern)
+        except _re.error:
+            return s.map(lambda x: None if x is None else True)
         return s.map(lambda x: None if x is None else rx.search(x) is not None)
 
     fn = lambda col, dt: pat_udf(col)  # noqa: E731
@@ -861,20 +881,34 @@ class ColumnarValidator:
             else:
                 col = F.col(c.column)
                 ok = c.build(col, dtypes[c.column])
+            if (c.column == self._ROW_CHECK or c.column not in dtypes
+                    or isinstance(dtypes[c.column], T.BinaryType)):
+                # cross-column checks have no single offending value;
+                # binary payloads have no meaningful textual form
+                val_expr = F.lit(None).cast("string")
+            else:
+                # truncated textual instance value — parity with the
+                # reference's errors carrying :document
+                # (util.cljc:106-115); rendering matches the
+                # interpreter's _fmt_value (Java Double.toString)
+                val_expr = F.substring(F.col(c.column).cast("string"),
+                                       1, 128)
             viol = F.struct(
                 F.lit(c.keyword).alias("keyword"),
                 F.lit(c.schema_path).alias("schema_path"),
                 F.lit(c.doc_path if c.doc_path is not None
                       else "/" + c.column).alias("doc_path"),
                 F.lit(c.message).alias("message"),
-                F.lit(c.level).alias("level"))
+                F.lit(c.level).alias("level"),
+                val_expr.alias("value"))
             structs.append(F.when(~ok.eqNullSafe(True), viol))
         if structs:
             viol_arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
         else:
             viol_arr = F.array().cast(
                 "array<struct<keyword:string,schema_path:string,"
-                "doc_path:string,message:string,level:string>>")
+                "doc_path:string,message:string,level:string,"
+                "value:string>>")
         df = df.withColumn(out_violations, viol_arr)
         df = df.withColumn(
             out_valid,
@@ -883,7 +917,8 @@ class ColumnarValidator:
         return df
 
     def violation_rows(self, df: DataFrame, key_col: str) -> DataFrame:
-        """The north-star violation table: (key, keyword, path, message)."""
+        """The north-star violation table: (key, keyword, path, message,
+        offending value)."""
         applied = self.apply(df)
         v = F.explode("violations")
         return (applied.select(F.col(key_col), v.alias("v"))
@@ -892,7 +927,8 @@ class ColumnarValidator:
                         F.col("v.schema_path").alias("schema_path"),
                         F.col("v.doc_path").alias("doc_path"),
                         F.col("v.message").alias("message"),
-                        F.col("v.level").alias("level")))
+                        F.col("v.level").alias("level"),
+                        F.col("v.value").alias("value")))
 
 
 def _value_compat(v, dt: T.DataType) -> bool:

@@ -53,7 +53,8 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
                         F.col("v.schema_path").alias("schema_path"),
                         F.col("v.doc_path").alias("doc_path"),
                         F.col("v.message").alias("message"),
-                        F.col("v.level").alias("level")))
+                        F.col("v.level").alias("level"),
+                        F.col("v.value").alias("value")))
     if with_uniqueness:
         dups = (slim.groupBy(key_col)
                     .agg(F.count(F.lit(1)).alias("dup_count"))

@@ -92,6 +92,63 @@ class Violation:
     doc_path: str
     message: str
     level: str = "error"  # error | warning | info
+    # the offending instance value (truncated textual form), parity with
+    # the reference's errors carrying :document (util.cljc:106-115).
+    # Rendering matches Spark's cast-to-string (Java Double.toString for
+    # floats) so the columnar engine produces identical strings.
+    value: str | None = None
+
+
+def _java_num_str(x: float) -> str:
+    """Java ``Double.toString`` / Spark ``cast(double as string)``
+    emulation: shortest round-trip digits; plain decimal for
+    1e-3 <= |x| < 1e7, else ``d.dddE±e``."""
+    import math
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "Infinity" if x > 0 else "-Infinity"
+    if x == 0.0:
+        return "-0.0" if math.copysign(1.0, x) < 0 else "0.0"
+    from decimal import Decimal
+    d = Decimal(repr(abs(x)))
+    sign = "-" if x < 0 else ""
+    ds = "".join(map(str, d.as_tuple().digits)).rstrip("0") or "0"
+    adj = d.adjusted()
+    if -3 <= adj < 7:
+        if adj >= 0:
+            intpart = ds[:adj + 1].ljust(adj + 1, "0")
+            frac = ds[adj + 1:] or "0"
+        else:
+            intpart = "0"
+            frac = "0" * (-adj - 1) + ds
+        return f"{sign}{intpart}.{frac}"
+    return f"{sign}{ds[0]}.{ds[1:] or '0'}E{adj}"
+
+
+_VALUE_TRUNC = 128
+
+
+def _fmt_value(v: Any) -> str | None:
+    """Textual instance value for violation rows (truncated)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    elif isinstance(v, float):
+        s = _java_num_str(v)
+    elif isinstance(v, str):
+        s = v
+    elif isinstance(v, (int,)):
+        s = str(v)
+    else:
+        import json as _json
+        try:
+            s = _json.dumps(v, separators=(",", ":"), ensure_ascii=False,
+                            default=str)
+        except (TypeError, ValueError):
+            s = str(v)
+    return s[:_VALUE_TRUNC]
 
 
 @dataclass
@@ -281,6 +338,24 @@ class _Index:
 
 _CompileFn = Callable[..., Optional[Callable]]
 
+# compiled meta-schema cache: vendored drafts by name, registry metas by
+# object identity (validate-m2 is memoized in the reference too —
+# validate.cljc:405-408)
+_META_CACHE: dict = {}
+
+
+def _compiled_meta(draft: str, meta):
+    key = id(meta)
+    hit = _META_CACHE.get(key)
+    if hit is not None and hit[0] is meta:
+        return hit[1]
+    try:
+        cv = CompiledSchema(meta, meta_validate=False)
+    except Exception:  # malformed registry meta-schema: skip m2 check
+        cv = None
+    _META_CACHE[key] = (meta, cv)
+    return cv
+
 
 class CompiledSchema:
     """Driver-side compiled artifact — the analog of the reference's
@@ -291,13 +366,32 @@ class CompiledSchema:
                  registry: dict | None = None,
                  format_assertion: bool | None = None,
                  formats: dict | None = None,
-                 base_uri: str = ""):
+                 base_uri: str = "",
+                 meta_validate: bool = True,
+                 vocabulary: dict | None = None):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         self.registry = dict(registry or {})
         self.formats = dict(FORMATS)
         if formats:
             self.formats.update(formats)
+        # $vocabulary dialect: restrict compiled keywords to the active
+        # vocabularies (vocabulary.cljc:131-139, 588-597); None = all
+        self._allowed_keywords = None
+        if vocabulary is None and isinstance(schema, dict):
+            vocabulary = self._meta_vocabulary(schema)
+        if vocabulary is not None:
+            from m3spark.schema.vocabulary import dialect_keywords
+            allowed, fmt_assert = dialect_keywords(vocabulary, self.draft)
+            self._allowed_keywords = allowed
+            if format_assertion is None and fmt_assert is not None:
+                format_assertion = fmt_assert
+        # validate-m2: check the schema against its draft meta-schema
+        # (validate.cljc:354-403).  Failures don't raise — every document
+        # validation reports the meta-errors (reference: `constantly r`).
+        self._meta_errors: list | None = None
+        if meta_validate and isinstance(schema, (dict, bool)):
+            self._meta_errors = self._validate_m2(schema) or None
         if format_assertion is None:
             # reference default: assertion in old drafts, annotation 2019+
             # (vocabulary.cljc:599-614; property.cljc:682-700)
@@ -315,12 +409,75 @@ class CompiledSchema:
         self.index.resources.setdefault(root_base, schema)
         self.index.index(schema, root_base, self.draft)
         self._indexed_registry: set[str] = set()
-        self.root = self._compile(schema, self.draft, "")
+        if self._meta_errors:
+            # invalid schema: never compiled, every validation reports
+            # the meta-errors (reference: validate.cljc:375-377)
+            c = Compiled(root_base)
+            c.fn = lambda v, p, rt, _e=self._meta_errors: (list(_e), None)
+            self.root = c
+        else:
+            self.root = self._compile(schema, self.draft, "")
+
+    # -- meta-schema validation (validate-m2) -------------------------------
+
+    def _resolve_meta(self, schema: dict):
+        """The meta-schema governing ``schema``: a vendored draft
+        meta-schema, or a registry entry for a custom ``$schema`` URI."""
+        from m3spark.schema.metaschemas import META_BY_DRAFT
+        s_uri = schema.get("$schema")
+        if isinstance(s_uri, str):
+            base = s_uri.rstrip("#")
+            if base in _SCHEMA_URI_TO_DRAFT:
+                return META_BY_DRAFT.get(_SCHEMA_URI_TO_DRAFT[base])
+            return self.registry.get(s_uri) or self.registry.get(base)
+        return META_BY_DRAFT.get(self.draft)
+
+    def _meta_vocabulary(self, schema: dict):
+        """$vocabulary of the schema's meta-schema, when one is declared
+        (vendored drafts use the default dialect — equivalent to their
+        full standard vocabulary set)."""
+        s_uri = schema.get("$schema")
+        if not isinstance(s_uri, str):
+            return None
+        if s_uri.rstrip("#") in _SCHEMA_URI_TO_DRAFT:
+            return None  # standard draft: default dialect
+        meta = self.registry.get(s_uri) or self.registry.get(
+            s_uri.rstrip("#"))
+        if isinstance(meta, dict):
+            vocab = meta.get("$vocabulary")
+            if isinstance(vocab, dict):
+                return vocab
+        return None
+
+    def _validate_m2(self, schema):
+        """Validate the schema against its meta-schema
+        (validate.cljc:354-403).  Returns wrapped meta-errors (empty if
+        valid, or if no meta-schema is available — reference fallback:
+        compile anyway)."""
+        if not isinstance(schema, dict):
+            return []
+        meta = self._resolve_meta(schema)
+        if meta is None or meta is schema or meta == schema:
+            return []  # unknown meta, or we ARE the meta-schema (top)
+        cv = _compiled_meta(self.draft, meta)
+        if cv is None:
+            return []
+        r = cv.validate(schema)
+        return [
+            Violation("$schema", e.schema_path, e.doc_path,
+                      f"schema is invalid against its meta-schema at "
+                      f"{e.doc_path or '/'}: {e.message}", "error", e.value)
+            for e in r.errors]
 
     # -- public API --------------------------------------------------------
 
     def validate(self, value: Any) -> ValidationResult:
         import sys
+
+        if self._meta_errors:
+            # invalid schema: every document reports the meta-errors
+            # (reference: `(constantly r)` — validate.cljc:375-377)
+            return ValidationResult(False, list(self._meta_errors), [], [])
 
         rt = _Rt(self.root_uri)
         # ~10 interpreter frames per application; size the Python limit
@@ -406,7 +563,16 @@ class CompiledSchema:
                 None)
             return c
         if not isinstance(node, dict):
-            raise SchemaError(f"schema must be object or boolean at {sp!r}")
+            # malformed subschema (e.g. a string where a schema object is
+            # expected): warn and treat as always-true instead of
+            # crashing — the reference's corpus-stress regression
+            # (json_schema_test.cljc:118-130 "must not crash")
+            c.fn = lambda v, p, rt, _sp=sp, _n=node: (
+                [Violation("$schema", _sp, p,
+                           f"ignoring malformed subschema {_n!r} "
+                           f"(expected object or boolean)", "warning")],
+                None)
+            return c
         draft = draft_of(node, draft)
         checkers = self._compile_object(node, draft, sp, base)
 
@@ -418,6 +584,15 @@ class CompiledSchema:
                 if e:
                     errs.extend(e)
                 ann = _merge(ann, a)
+            if errs:
+                # stamp the offending instance value onto violations
+                # raised AT this node (deeper ones were stamped in their
+                # own run; error-only cost, nothing on the valid path)
+                import dataclasses
+                fv = _fmt_value(value)
+                errs = [dataclasses.replace(e, value=fv)
+                        if e.value is None and e.doc_path == path else e
+                        for e in errs]
             return errs, ann
 
         c.fn = run
@@ -438,9 +613,12 @@ class CompiledSchema:
             chk = self._c_ref(node["$ref"], base, draft, sp)
             return [chk]
         checkers = []
+        allowed = self._allowed_keywords
         for name in _KEYWORD_ORDER:
             if name not in node:
                 continue
+            if allowed is not None and name not in allowed:
+                continue  # keyword outside the active $vocabulary dialect
             fn = kw.get(name)
             if fn is None:
                 continue
@@ -695,6 +873,8 @@ def c_multiple_of(cs, node, v, draft, sp, base):
 
 
 def c_min_length(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, str) and json_length(val) < v:
@@ -704,6 +884,8 @@ def c_min_length(cs, node, v, draft, sp, base):
 
 
 def c_max_length(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, str) and json_length(val) > v:
@@ -713,18 +895,12 @@ def c_max_length(cs, node, v, draft, sp, base):
 
 
 def compile_ecma_pattern(pattern: str) -> re.Pattern:
-    """Compile an ECMA-262-flavored pattern under Python re (the reference
-    uses a real ECMA engine — ecma.cljc:27-38; Python re is close: the
-    notable gaps are \\cX and unicode-mode differences)."""
-    # translate ECMA \cX control escapes which Python lacks
-    pat = re.sub(r"\\c([A-Za-z])",
-                 lambda m: "\\x%02x" % (ord(m.group(1).upper()) - 64), pattern)
-    # ECMA \d\w\s are ASCII-only; Python defaults to unicode
-    return re.compile(pat, re.ASCII if not _has_unicode_escape(pat) else 0)
-
-
-def _has_unicode_escape(p: str) -> bool:
-    return "\\u" in p
+    """Compile an ECMA-262-flavored pattern with exact ECMA semantics
+    where expressible (the reference uses a real ECMA engine —
+    ecma.cljc:27-38).  Translation + classification live in
+    :mod:`m3spark.schema.ecma`."""
+    from m3spark.schema.ecma import compile_ecma
+    return compile_ecma(pattern)
 
 
 def c_pattern(cs, node, v, draft, sp, base):
@@ -910,6 +1086,8 @@ def c_required(cs, node, v, draft, sp, base):
 
 
 def c_min_properties(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, dict) and len(val) < v:
@@ -919,6 +1097,8 @@ def c_min_properties(cs, node, v, draft, sp, base):
 
 
 def c_max_properties(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, dict) and len(val) > v:
@@ -1164,6 +1344,8 @@ def c_contains(cs, node, v, draft, sp, base):
 
 
 def c_min_items(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, list) and len(val) < v:
@@ -1173,6 +1355,8 @@ def c_min_items(cs, node, v, draft, sp, base):
 
 
 def c_max_items(cs, node, v, draft, sp, base):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return None  # malformed bound: ignored when meta-validation is off
     @_no_ann
     def chk(val, p, rt):
         if isinstance(val, list) and len(val) > v:
@@ -1347,6 +1531,15 @@ def c_content(cs, node, v, draft, sp, base):
     return chk
 
 
+def c_content_media_type(cs, node, v, draft, sp, base):
+    """contentMediaType WITHOUT contentEncoding still decodes-and-checks
+    (the raw string is the content) — reference property.cljc:743-810
+    keys off either keyword."""
+    if "contentEncoding" in node:
+        return None  # c_content (keyed on contentEncoding) covers both
+    return c_content(cs, node, v, draft, sp, base)
+
+
 # ---- annotations-only keywords ----
 
 
@@ -1414,6 +1607,7 @@ _D6 = dict(_D4, **{
 _D7 = dict(_D6, **{
     "if": c_if,
     "contentEncoding": c_content,
+    "contentMediaType": c_content_media_type,
 })
 
 _D2019K = dict(_D7, **{
@@ -1470,7 +1664,7 @@ _KEYWORD_ORDER = [
     "minItems", "maxItems", "uniqueItems",
     "properties", "patternProperties", "additionalProperties",
     "propertyNames",
-    "contentEncoding",
+    "contentEncoding", "contentMediaType",
     "deprecated", "$comment",
     "unevaluatedItems", "unevaluatedProperties",
 ]
@@ -1479,11 +1673,21 @@ _KEYWORD_ORDER = [
 def compile_schema(schema: Any, draft: str | None = None,
                    registry: dict | None = None,
                    format_assertion: bool | None = None,
-                   formats: dict | None = None) -> CompiledSchema:
+                   formats: dict | None = None,
+                   meta_validate: bool = True) -> CompiledSchema:
     """Public compile entry point (reference analog: ``validator`` —
-    json_schema.cljc:165-189)."""
+    json_schema.cljc:165-189).  A ``str`` schema is decoded as JSON
+    first (m3 accepts JSON-string schemas: json_schema.cljc:131-140).
+    ``meta_validate`` mirrors the reference's validate-m2 default: the
+    schema is validated against its draft meta-schema, and an invalid
+    schema yields a validator that reports the meta-errors for every
+    document."""
+    if isinstance(schema, str):
+        import json as _json
+        schema = _json.loads(schema)
     return CompiledSchema(schema, draft=draft, registry=registry,
-                          format_assertion=format_assertion, formats=formats)
+                          format_assertion=format_assertion, formats=formats,
+                          meta_validate=meta_validate)
 
 
 def validate(schema: Any, value: Any, **opts) -> ValidationResult:

@@ -34,6 +34,7 @@ VIOLATION_SCHEMA = StructType([
     StructField("doc_path", StringType()),
     StructField("message", StringType()),
     StructField("level", StringType()),
+    StructField("value", StringType()),  # offending instance (truncated)
 ])
 
 VIOLATIONS_TYPE = ArrayType(VIOLATION_SCHEMA)
@@ -63,14 +64,16 @@ def _validate_series(s: pd.Series, schema_json: str, draft, fmt_assert):
             out_valid.append(False)
             out_viol.append([{"keyword": "$decode", "schema_path": "",
                               "doc_path": "", "message": f"bad JSON: {e}",
-                              "level": "error"}])
+                              "level": "error",
+                              "value": str(doc)[:128]}])
             continue
         rt_errs = cs.validate(value)
         errs = rt_errs.errors + rt_errs.warnings + rt_errs.infos
         out_valid.append(rt_errs.valid)
         out_viol.append([
             {"keyword": v.keyword, "schema_path": v.schema_path,
-             "doc_path": v.doc_path, "message": v.message, "level": v.level}
+             "doc_path": v.doc_path, "message": v.message, "level": v.level,
+             "value": v.value}
             for v in errs] if errs else [])
     return out_valid, out_viol
 
@@ -117,4 +120,5 @@ def violation_rows(df: DataFrame, key_col: str = "url",
                       F.col("v.schema_path").alias("schema_path"),
                       F.col("v.doc_path").alias("doc_path"),
                       F.col("v.message").alias("message"),
-                      F.col("v.level").alias("level")))
+                      F.col("v.level").alias("level"),
+                      F.col("v.value").alias("value")))

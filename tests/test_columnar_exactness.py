@@ -140,6 +140,24 @@ ZONE_URIS = [
 ]
 
 
+JAVA_STR_DOUBLES = [
+    0.05, 1e-4, 0.001, 0.0009, 123456789.0, 1234567.0, 9999999.0, 1e7,
+    1.5e-3, 0.0, -0.0, 2.5, 1e300, 1e-300, 3.141592653589793,
+    9007199254740994.0, 0.1 + 0.2, -42.0, 6.02e23, float("inf"),
+]
+
+
+def test_java_double_string_matches_spark_cast(spark):
+    """Violation `value` rendering parity: the interpreter's
+    _java_num_str must equal Spark's cast(double as string)."""
+    from m3spark.schema.core import _java_num_str
+    df = spark.createDataFrame([(x,) for x in JAVA_STR_DOUBLES], "x double")
+    got = [r["s"] for r in
+           df.select(F.col("x").cast("string").alias("s")).collect()]
+    want = [_java_num_str(x) for x in JAVA_STR_DOUBLES]
+    assert got == want, list(zip(JAVA_STR_DOUBLES, got, want))
+
+
 def test_uri_zone_id_parity(spark):
     from m3spark.columnar.compiler import _uri_pred
     from m3spark.schema.formats import check_uri

@@ -30,7 +30,9 @@ def test_pages_schema_engine_parity(spark, pages):
     col_viols = {}
     for r in col_rows:
         col_verdicts[r["url"]] = r["valid"]
-        col_viols[r["url"]] = {(v["keyword"], v["doc_path"])
+        # include the offending value: both engines must render the same
+        # (string-typed violating fields here: url / text / lang)
+        col_viols[r["url"]] = {(v["keyword"], v["doc_path"], v["value"])
                                for v in r["violations"]}
 
     # same rows as JSON documents through the interpreter (html is
@@ -53,8 +55,8 @@ def test_pages_schema_engine_parity(spark, pages):
         if bool(r["valid"]) != bool(col_verdicts[url]):
             mismatch_verdict.append(url)
             continue
-        got = {(v["keyword"], v["doc_path"]) for v in (r["violations"] or [])
-               if v["level"] == "error"}
+        got = {(v["keyword"], v["doc_path"], v["value"])
+               for v in (r["violations"] or []) if v["level"] == "error"}
         if got != col_viols[url]:
             mismatch_viol.append((url, got, col_viols[url]))
     assert not mismatch_verdict, mismatch_verdict[:5]

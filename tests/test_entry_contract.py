@@ -35,7 +35,7 @@ def duck():
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
-    assert df.columns == ["doc_id", "keyword", "schema_path"]
+    assert df.columns == ["doc_id", "keyword", "schema_path", "value"]
 
 
 def test_contract_shape():

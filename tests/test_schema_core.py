@@ -15,6 +15,9 @@ import pytest
 from m3spark.schema import compile_schema
 
 from corpus import CASES
+from corpus2 import CASES2
+
+ALL_CASES = CASES + CASES2
 
 M3_TESTS_DIR = "/root/reference/test-resources/m3-tests"
 
@@ -24,7 +27,7 @@ def _case_id(case):
     return f"{draft}:{desc}"
 
 
-@pytest.mark.parametrize("case", CASES, ids=_case_id)
+@pytest.mark.parametrize("case", ALL_CASES, ids=_case_id)
 def test_corpus_group(case):
     draft, desc, schema, tests = case
     cs = compile_schema(schema, draft=draft, format_assertion=True)
