@@ -12,16 +12,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
-def _agg_exprs(cols: list[str], distinct: str):
+_TEXT_PREFIX = 64  # min/max carry at most this many chars of a string
+
+
+def _agg_exprs(cols: list[str], distinct: str, dtypes: dict | None = None):
     aggs = [F.count(F.lit(1)).alias("row_count")]
     for c in cols:
         col = F.col(c)
+        # long text columns: full-value min/max would carry whole
+        # documents through the aggregation buffers at scale — clamp
+        # string stats to a prefix (order-compatible: the min/max of
+        # prefixes is the prefix of min/max up to ties)
+        if dtypes and isinstance(dtypes.get(c), StringType):
+            stat_col = F.substring(col, 1, _TEXT_PREFIX)
+        else:
+            stat_col = col
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"{c}_nulls"),
-            F.min(col).alias(f"{c}_min"),
-            F.max(col).alias(f"{c}_max"),
+            F.min(stat_col).alias(f"{c}_min"),
+            F.max(stat_col).alias(f"{c}_max"),
         ]
         if distinct == "exact":
             aggs.append(F.count_distinct(col).alias(f"{c}_distinct"))
@@ -41,8 +53,9 @@ def column_stats(df: DataFrame, cols: list[str],
     ``distinct``: 'approx' (HLL++ via approx_count_distinct, default),
     'hll' (DataSketches HLL), or 'exact' (exact, small-scale/oracle only).
     """
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     g = df.groupBy(group_by) if group_by else df.groupBy()
-    return g.agg(*_agg_exprs(cols, distinct))
+    return g.agg(*_agg_exprs(cols, distinct, dtypes))
 
 
 def partition_stats(df: DataFrame, cols: list[str],
@@ -50,6 +63,7 @@ def partition_stats(df: DataFrame, cols: list[str],
     """Stats per *physical* partition (spark_partition_id) — zero shuffle:
     the groupBy key is the partition id itself, so partial aggregation
     completes map-side and only one row per partition moves."""
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     return (df.withColumn("partition_id", F.spark_partition_id())
               .groupBy("partition_id")
-              .agg(*_agg_exprs(cols, distinct)))
+              .agg(*_agg_exprs(cols, distinct, dtypes)))

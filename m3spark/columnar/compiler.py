@@ -220,6 +220,15 @@ def _pattern_pred(pattern: str, force_python: bool) -> Callable:
 
     from m3spark.schema.ecma import java_pattern
 
+    if pattern.startswith("$format:"):
+        # reference extension (property.cljc:705-710): pattern delegates
+        # to a format checker
+        fmt = pattern[len("$format:"):]
+        if FORMATS.get(fmt) is None:
+            fn = lambda col, dt: F.lit(True)  # noqa: E731 (unknown: no-op)
+            fn._jvm = True
+            return fn
+        return _format_pred(fmt)
     if not force_python:
         try:
             jpat = java_pattern(pattern)

@@ -368,10 +368,14 @@ class CompiledSchema:
                  formats: dict | None = None,
                  base_uri: str = "",
                  meta_validate: bool = True,
-                 vocabulary: dict | None = None):
+                 vocabulary: dict | None = None,
+                 uri_dirs: dict | None = None):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         self.registry = dict(registry or {})
+        # remote-schema loading: uri prefix -> local schema directory
+        # (validate.cljc:237-258 uri-base->dir)
+        self.uri_dirs = dict(uri_dirs or {})
         self.formats = dict(FORMATS)
         if formats:
             self.formats.update(formats)
@@ -417,6 +421,25 @@ class CompiledSchema:
             self.root = c
         else:
             self.root = self._compile(schema, self.draft, "")
+
+    def _load_from_dirs(self, uri: str):
+        """Load a schema JSON file for ``uri`` via the ``uri_dirs``
+        prefix->directory map (validate.cljc:242-258; '.json' appended
+        when missing).  Returns None when unmapped or unreadable."""
+        import os
+        for prefix, directory in self.uri_dirs.items():
+            b = prefix.rstrip("/")
+            if uri == b or uri.startswith(b + "/"):
+                rel = uri[len(b):].lstrip("/")
+                path = os.path.join(directory, rel) if rel else directory
+                if not path.endswith(".json"):
+                    path += ".json"
+                try:
+                    with open(path, encoding="utf-8") as f:
+                        return json.load(f)
+                except (OSError, ValueError):
+                    return None
+        return None
 
     # -- meta-schema validation (validate-m2) -------------------------------
 
@@ -522,9 +545,28 @@ class CompiledSchema:
             self.index.resources[root_part] = reg_schema
             self.index.index(reg_schema, root_part, draft_of(reg_schema, self.draft))
             node = reg_schema
+        if node is None and self.uri_dirs:
+            # remote-schema loading: uri prefix -> local directory map
+            # (reference: validate.cljc:237-258 uri-base->dir + slurp)
+            loaded = self._load_from_dirs(root_part)
+            if loaded is not None:
+                self.index.resources[root_part] = loaded
+                self.index.index(loaded, root_part,
+                                 draft_of(loaded, self.draft))
+                node = loaded
         if node is None and root_part.rstrip("#") in _SCHEMA_URI_TO_DRAFT:
-            # meta-schema ref: treat as always-true (we don't meta-validate)
-            return True, root_part
+            # $ref to a standard draft meta-schema: resolve to the
+            # vendored copy so validation against it is real
+            from m3spark.schema.metaschemas import META_BY_DRAFT
+            meta = META_BY_DRAFT.get(
+                _SCHEMA_URI_TO_DRAFT[root_part.rstrip("#")])
+            if meta is not None:
+                self.index.resources[root_part] = meta
+                self.index.index(meta, root_part,
+                                 draft_of(meta, self.draft))
+                node = meta
+            else:
+                return True, root_part
         if node is None:
             raise SchemaError(f"unresolvable $ref: {target!r} (base {base_uri!r})")
         if frag is None or frag == "":
@@ -903,18 +945,35 @@ def compile_ecma_pattern(pattern: str) -> re.Pattern:
     return compile_ecma(pattern)
 
 
-def c_pattern(cs, node, v, draft, sp, base):
-    if not isinstance(v, str):
-        return None
+def _pattern_matcher(cs, v: str):
+    """A (str) -> bool matcher for a pattern string, honoring the
+    reference's ``$format:`` extension (property.cljc:705-710): a
+    pattern of the form ``$format:NAME`` delegates to the format
+    checker instead of ECMA regex.  Returns None when the pattern is
+    unusable (ECMA-invalid / unknown format)."""
+    if v.startswith("$format:"):
+        fmt = cs.formats.get(v[len("$format:"):])
+        if fmt is None:
+            return None
+        return lambda s: bool(fmt(s))
     try:
         rx = compile_ecma_pattern(v)
     except re.error:
+        return None
+    return lambda s: rx.search(s) is not None
+
+
+def c_pattern(cs, node, v, draft, sp, base):
+    if not isinstance(v, str):
+        return None
+    match = _pattern_matcher(cs, v)
+    if match is None:
         return None
 
     @_no_ann
     def chk(val, p, rt):
         # ECMA 'test' semantics: unanchored find (property.cljc:702-720)
-        if isinstance(val, str) and rx.search(val) is None:
+        if isinstance(val, str) and not match(val):
             return _err("pattern", sp, p, f"string does not match {v!r}")
         return []
     return chk
@@ -981,11 +1040,10 @@ def c_pattern_properties(cs, node, v, draft, sp, base):
         return None
     pairs = []
     for pat, s in v.items():
-        try:
-            rx = compile_ecma_pattern(pat)
-        except re.error:
+        match = _pattern_matcher(cs, pat)  # honors $format: keys
+        if match is None:
             continue
-        pairs.append((rx, cs._compile(s, draft, join_pointer(sp, pat))))
+        pairs.append((match, cs._compile(s, draft, join_pointer(sp, pat))))
 
     def chk(val, p, rt, ann):
         if not isinstance(val, dict):
@@ -993,8 +1051,8 @@ def c_pattern_properties(cs, node, v, draft, sp, base):
         errs = []
         props = set()
         for k, item in val.items():
-            for rx, sub in pairs:
-                if rx.search(k):
+            for match, sub in pairs:
+                if match(k):
                     props.add(k)
                     e, _ = sub(item, join_pointer(p, k), rt)
                     errs.extend(e)
@@ -1011,10 +1069,9 @@ def c_additional_properties(cs, node, v, draft, sp, base):
     pp = node.get("patternProperties")
     if isinstance(pp, dict):
         for pat in pp:
-            try:
-                pats.append(compile_ecma_pattern(pat))
-            except re.error:
-                pass
+            match = _pattern_matcher(cs, pat)  # honors $format: keys
+            if match is not None:
+                pats.append(match)
     sub = cs._compile(v, draft, sp)
 
     def chk(val, p, rt, ann):
@@ -1023,7 +1080,7 @@ def c_additional_properties(cs, node, v, draft, sp, base):
         errs = []
         props = set()
         for k, item in val.items():
-            if k in named or any(rx.search(k) for rx in pats):
+            if k in named or any(match(k) for match in pats):
                 continue
             props.add(k)
             e, _ = sub(item, join_pointer(p, k), rt)
@@ -1674,7 +1731,8 @@ def compile_schema(schema: Any, draft: str | None = None,
                    registry: dict | None = None,
                    format_assertion: bool | None = None,
                    formats: dict | None = None,
-                   meta_validate: bool = True) -> CompiledSchema:
+                   meta_validate: bool = True,
+                   uri_dirs: dict | None = None) -> CompiledSchema:
     """Public compile entry point (reference analog: ``validator`` —
     json_schema.cljc:165-189).  A ``str`` schema is decoded as JSON
     first (m3 accepts JSON-string schemas: json_schema.cljc:131-140).
@@ -1687,7 +1745,7 @@ def compile_schema(schema: Any, draft: str | None = None,
         schema = _json.loads(schema)
     return CompiledSchema(schema, draft=draft, registry=registry,
                           format_assertion=format_assertion, formats=formats,
-                          meta_validate=meta_validate)
+                          meta_validate=meta_validate, uri_dirs=uri_dirs)
 
 
 def validate(schema: Any, value: Any, **opts) -> ValidationResult:

@@ -316,8 +316,17 @@ _CSS_COLORS = {
 _HEX_COLOR_RE = _anchored(r"#(?:[0-9A-Fa-f]{3}|[0-9A-Fa-f]{6})")
 
 
+_RGB_FUNC_RE = _anchored(
+    r"rgb\(\s*(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\s*,\s*){2}"
+    r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\s*\)")
+
+
 def check_color(s: str) -> bool:
-    return s.lower() in _CSS_COLORS or _HEX_COLOR_RE.match(s) is not None
+    """CSS2.1 color: named | #hex(3/6) | rgb(0-255,0-255,0-255)
+    (reference: pattern.cljc:83 color-pattern + css-color-names)."""
+    return (s.lower() in _CSS_COLORS
+            or _HEX_COLOR_RE.match(s) is not None
+            or _RGB_FUNC_RE.match(s) is not None)
 
 
 def _always(s: str) -> bool:  # style / phone / utc-millisec: no-op pass
