@@ -759,12 +759,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents,
                    UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
                      AS t(i)),
+            h30 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('|' || shingle), 1, 15))
+                          AS BIGINT) % 1073741824 AS h30
+              FROM sh),
             hs AS (
               SELECT doc_id, j,
-                     MIN(CAST(('0x' || substr(md5(j::VARCHAR || '|' ||
-                                                  shingle), 1, 15))
-                              AS BIGINT)) AS hv
-              FROM sh, UNNEST(range(0, 32)) AS u(j)
+                     MIN((h30 * (2 * j + 1)
+                          + (j * 2654435761) % 2147483647)
+                         % 2147483647) AS hv
+              FROM h30, UNNEST(range(0, 32)) AS u(j)
               GROUP BY doc_id, j),
             bandkey AS (
               SELECT doc_id, (j // 4) AS band,

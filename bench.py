@@ -118,12 +118,17 @@ def run_bench() -> dict:
     }
 
 
-def scale_child(cores: int, n_pages: int, warmups: int = 2, timed: int = 3):
+def scale_child(cores: int, n_pages: int,
+                warmups: int | None = None, timed: int | None = None):
     """One JVM, one parallelism level: warm the OS page cache + JIT
     (generated code needs ~2 executions to reach steady state), then
     report the median of ``timed`` runs."""
     from m3spark.session import get_spark
 
+    if warmups is None:
+        warmups = int(os.environ.get("M3SPARK_SCALE_WARMUPS", "2"))
+    if timed is None:
+        timed = int(os.environ.get("M3SPARK_SCALE_TIMED", "3"))
     spark = get_spark(f"scale-{cores}", cores=cores,
                       shuffle_partitions=cores * 2)
     spark.sparkContext.setLogLevel("ERROR")
@@ -197,6 +202,7 @@ def run_scaling(n_low: int = 4, n_high: int = 16,
     both levels inside the ~16 effective cores; see BENCH.md."""
     if n_pages is None:
         n_pages = int(os.environ.get("M3SPARK_SCALE_PAGES", "4000000"))
+    attempts = int(os.environ.get("M3SPARK_SCALE_ATTEMPTS", str(attempts)))
     attempts_out = []
     for i in range(attempts):
         lo = _scale_once(n_low, n_pages)

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from m3spark.schema.core import (
-    DRAFT3, DRAFT4, D2019, _ge, draft_of,
+    DRAFT3, DRAFT4, D2019, _ge, draft_of, meta_validate_schema,
 )
 from m3spark.schema.formats import (
     FORMATS, IPV6_PATTERN, SPARK_RLIKE, URI_BAD_PCT_PATTERN,
@@ -263,7 +263,8 @@ class ColumnarValidator:
     def __init__(self, schema: dict, draft: str | None = None,
                  format_assertion: bool | None = None,
                  force_python_patterns: bool = False,
-                 strict: bool = True):
+                 strict: bool = True,
+                 meta_validate: bool = True):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         if format_assertion is None:
@@ -272,6 +273,19 @@ class ColumnarValidator:
         self._force_py = force_python_patterns
         self.checks: list[Check] = []
         self.unsupported: list[str] = []
+        # validate-m2 parity with the interpreter (core.py): an invalid
+        # schema compiles to a plan that flags EVERY row with the
+        # meta-error instead of silently lenient checks
+        self.meta_errors = (meta_validate_schema(schema, self.draft)
+                            if meta_validate else [])
+        if self.meta_errors:
+            msg = self.meta_errors[0].message
+            n = len(self.meta_errors)
+            if n > 1:
+                msg += f" (+{n - 1} more meta-errors)"
+            self._add(self._ROW_CHECK, "$schema", "", msg, "error",
+                      lambda col, dtypes: F.lit(False), null_passes=False)
+            return
         self._compile_root(schema)
         if strict and self.unsupported:
             raise UnsupportedKeyword(

@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# portable-minhash universal-hash constants (mirrored in the DuckDB
+# oracle SQL): h30 = md5-60bit(shingle) mod 2^30; h_i = (a_i*h30+b_i) mod p
+PORTABLE_H30 = 1 << 30
+PORTABLE_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(i: int) -> tuple[int, int]:
+    return 2 * i + 1, (i * 2654435761) % PORTABLE_P
+
+
 def exact_duplicates(df: DataFrame, cols: list[str],
                      hash_col: str = "content_hash") -> DataFrame:
     """Groups of rows identical on ``cols``: (content_hash, dup_count),
@@ -108,14 +118,25 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     recomputes the shingle array per salt: ~30x the work.)"""
     from m3spark.ops.phash import portable_hash60
 
-    def h(i):
-        if hash_fn == "portable":
-            return portable_hash60(F.col("shingle"), salt=str(i))
-        return F.xxhash64(F.col("shingle"), F.lit(i))
-
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), k, stride)).alias("shingle"))
+
+    if hash_fn == "portable":
+        # ONE md5 per shingle, then K universal-hash derivations
+        # (a_i*h30 + b_i) mod p — 30-bit base keeps every product inside
+        # int64, and DuckDB reproduces the exact values
+        # (tools/check_oracles.py minhash_pairs_documents)
+        base = (portable_hash60(F.col("shingle")) % F.lit(PORTABLE_H30))
+        sh = sh.select("_id", base.alias("_h30"))
+
+        def h(i):
+            a, b = _minhash_coeffs(i)
+            return (F.col("_h30") * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_P)
+    else:
+        def h(i):
+            return F.xxhash64(F.col("shingle"), F.lit(i))
+
     aggs = [F.min(h(i)).alias(f"_h{i}") for i in range(num_hashes)]
     return (sh.groupBy("_id").agg(*aggs)
               .select("_id", F.array(*[F.col(f"_h{i}")

@@ -156,24 +156,40 @@ def ivf_topk_fixed(df: DataFrame, vec_col: str, query: list[float], k: int,
     inverted lists, then exact top-k scans only those lists."""
     cents = (df.where((F.col(id_col) % centroid_mod) == centroid_rem)
                .select(F.col(id_col).alias("_cid"),
-                       F.col(vec_col).alias("_cv")))
-    # assign each vector to its max-cosine centroid: broadcast join +
-    # max_by, partial-aggregated map-side
-    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    cos_to_cent = _dot(F.col("_v"), F.col("_cv")) / (
-        _norm(F.col("_v")) * _norm(F.col("_cv")))
-    assigned = (e.join(F.broadcast(cents))
-                 .select("_id", "_v", "_cid", cos_to_cent.alias("_cc"))
-                 .groupBy("_id")
-                 .agg(F.max_by("_cid", F.struct("_cc", "_cid")).alias("_cluster"),
-                      F.first("_v").alias("_v")))
-    # probe: the n_probe centroids nearest the query
-    qcos = cosine_similarity(F.col("_cv"), query)
-    probe = [r["_cid"] for r in
-             cents.select("_cid", qcos.alias("_qc"))
-                  .orderBy(F.col("_qc").desc(), "_cid")
-                  .limit(n_probe).collect()]
-    cand = (assigned.where(F.col("_cluster").isin(probe))
-                    .select(F.col("_id").alias(id_col),
-                            F.col("_v").alias(vec_col)))
+                       F.col(vec_col).alias("_cv"))
+               .collect())  # bounded: one row per centroid
+    # assignment is a PER-ROW argmax over the centroid literals — a pure
+    # map-side expression, zero shuffle, zero join (the centroid list is
+    # the quantizer codebook; at scale it ships inside the plan exactly
+    # like a broadcast).  array_max over struct(cos, cid) reproduces the
+    # (cosine, id)-lexicographic tie-break the SQL oracle uses.
+    def cos_to(cv):
+        lit_v = F.array(*[F.lit(float(x)) for x in cv])
+        return _dot(F.col("_v"), lit_v) / (
+            _norm(F.col("_v")) * _norm(lit_v))
+
+    arr = F.array(*[F.struct(cos_to(r["_cv"]).alias("c"),
+                             F.lit(r["_cid"]).alias("id"))
+                    for r in cents])
+    cluster = F.array_max(arr)["id"]
+    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                  cluster.alias("_cluster"))
+    # probe: the n_probe centroids nearest the query (driver-side over
+    # the already-collected codebook)
+    import math
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+
+    def qcos(cv):
+        dot = 0.0
+        for a, b in zip(cv, query):
+            dot += float(a) * b
+        n = math.sqrt(sum(float(a) * float(a) for a in cv)) or 1.0
+        return dot / (n * qn)
+
+    probe = [cid for _, cid in
+             sorted(((qcos(r["_cv"]), r["_cid"]) for r in cents),
+                    key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = (e.where(F.col("_cluster").isin(probe))
+             .select(F.col("_id").alias(id_col),
+                     F.col("_v").alias(vec_col)))
     return cosine_topk(cand, vec_col, query, k, id_col)

@@ -357,6 +357,42 @@ def _compiled_meta(draft: str, meta):
     return cv
 
 
+def meta_validate_schema(schema, draft: str | None = None,
+                         registry: dict | None = None) -> list:
+    """Standalone validate-m2 (validate.cljc:354-403): validate a schema
+    against its governing meta-schema (vendored draft meta-schema, or a
+    registry entry for a custom ``$schema`` URI).  Returns wrapped
+    meta-error Violations; empty when the schema is valid or no
+    meta-schema is available (reference fallback: compile anyway).
+    Shared by the interpreter (CompiledSchema) and the columnar
+    compiler so both engines reject the same schemas."""
+    if not isinstance(schema, dict):
+        return []
+    from m3spark.schema.metaschemas import META_BY_DRAFT
+    draft = draft or draft_of(schema)
+    registry = registry or {}
+    s_uri = schema.get("$schema")
+    if isinstance(s_uri, str):
+        base = s_uri.rstrip("#")
+        if base in _SCHEMA_URI_TO_DRAFT:
+            meta = META_BY_DRAFT.get(_SCHEMA_URI_TO_DRAFT[base])
+        else:
+            meta = registry.get(s_uri) or registry.get(base)
+    else:
+        meta = META_BY_DRAFT.get(draft)
+    if meta is None or meta is schema or meta == schema:
+        return []  # unknown meta, or we ARE the meta-schema (top)
+    cv = _compiled_meta(draft, meta)
+    if cv is None:
+        return []
+    r = cv.validate(schema)
+    return [
+        Violation("$schema", e.schema_path, e.doc_path,
+                  f"schema is invalid against its meta-schema at "
+                  f"{e.doc_path or '/'}: {e.message}", "error", e.value)
+        for e in r.errors]
+
+
 class CompiledSchema:
     """Driver-side compiled artifact — the analog of the reference's
     ``validator`` entry point (json_schema.cljc:165-189, compile-once /
@@ -443,18 +479,6 @@ class CompiledSchema:
 
     # -- meta-schema validation (validate-m2) -------------------------------
 
-    def _resolve_meta(self, schema: dict):
-        """The meta-schema governing ``schema``: a vendored draft
-        meta-schema, or a registry entry for a custom ``$schema`` URI."""
-        from m3spark.schema.metaschemas import META_BY_DRAFT
-        s_uri = schema.get("$schema")
-        if isinstance(s_uri, str):
-            base = s_uri.rstrip("#")
-            if base in _SCHEMA_URI_TO_DRAFT:
-                return META_BY_DRAFT.get(_SCHEMA_URI_TO_DRAFT[base])
-            return self.registry.get(s_uri) or self.registry.get(base)
-        return META_BY_DRAFT.get(self.draft)
-
     def _meta_vocabulary(self, schema: dict):
         """$vocabulary of the schema's meta-schema, when one is declared
         (vendored drafts use the default dialect — equivalent to their
@@ -477,20 +501,7 @@ class CompiledSchema:
         (validate.cljc:354-403).  Returns wrapped meta-errors (empty if
         valid, or if no meta-schema is available — reference fallback:
         compile anyway)."""
-        if not isinstance(schema, dict):
-            return []
-        meta = self._resolve_meta(schema)
-        if meta is None or meta is schema or meta == schema:
-            return []  # unknown meta, or we ARE the meta-schema (top)
-        cv = _compiled_meta(self.draft, meta)
-        if cv is None:
-            return []
-        r = cv.validate(schema)
-        return [
-            Violation("$schema", e.schema_path, e.doc_path,
-                      f"schema is invalid against its meta-schema at "
-                      f"{e.doc_path or '/'}: {e.message}", "error", e.value)
-            for e in r.errors]
+        return meta_validate_schema(schema, self.draft, self.registry)
 
     # -- public API --------------------------------------------------------
 

@@ -96,6 +96,22 @@ def test_flagship_schemas_meta_valid():
     assert compile_schema(PAGES_SCHEMA)._meta_errors is None
 
 
+def test_columnar_meta_validation_parity(spark):
+    """The columnar engine rejects the same meta-invalid schemas: every
+    row flagged with the $schema meta-error (never silently-lenient
+    compiled checks)."""
+    from m3spark.columnar import ColumnarValidator
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    cv = ColumnarValidator({"properties": {"x": {"minLength": "3"}}})
+    rows = cv.apply(df).collect()
+    assert all(not r["valid"] for r in rows)
+    assert rows[0]["violations"][0]["keyword"] == "$schema"
+    # valid schema unaffected
+    cv2 = ColumnarValidator({"properties": {"x": {"minimum": 2}}})
+    got = [r["valid"] for r in cv2.apply(df).orderBy("x").collect()]
+    assert got == [False, True]
+
+
 # ----------------------------------------------------------- $vocabulary
 
 def _registry_with_meta(vocab):
