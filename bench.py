@@ -24,7 +24,9 @@ import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# this host oversubscribes vCPUs above ~16 threads (local[32] measured
+# SLOWER than local[16] — BENCH.md); honor an explicit setting, else 16
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or 16)
 BENCH_CACHE = os.environ.get("M3SPARK_BENCH_CACHE", "/tmp/m3spark_bench")
 
 

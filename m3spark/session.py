@@ -24,10 +24,16 @@ def get_spark(app: str = "m3spark", cores: int | None = None,
     if shuffle_partitions is None:
         # scale shuffle width with cores (2x for scheduling overlap)
         shuffle_partitions = max(8, cores * 2)
-    return (
+    builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
-        .appName(app)
+        .appName(app))
+    java_opts = os.environ.get("M3SPARK_JAVA_OPTS")
+    if java_opts:
+        # e.g. GC selection for oversubscribed-host experiments
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    return (
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
