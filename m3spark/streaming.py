@@ -42,3 +42,39 @@ def validate_stream(pages_stream: DataFrame, schema: dict | None = None,
                     "rows_scanned", "invalid_rows",
                     (F.col("invalid_rows") == 0).alias("passed")))
     return {"rows": rows, "verdicts": verdicts, "validator": cv}
+
+
+def streaming_unique_violations(stream: DataFrame,
+                                key_col: str = "url") -> DataFrame:
+    """Cross-micro-batch uniqueness — the streaming analog of
+    checks/uniqueness.py, as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): per-key state holds the running
+    occurrence count across ALL batches seen so far; a key whose total
+    passes 1 emits an updated (key, dup_count) violation row.
+
+    State is one long per distinct key, partitioned by the grouping key
+    — the same keyed layout the batch uniqueness shuffle uses, so skew
+    handling (salting upstream) applies identically.  Arrow-batched per
+    group; no per-row Python."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState, GroupStateTimeout,
+    )
+
+    def track(key, pdfs, state: GroupState):
+        seen = sum(len(p) for p in pdfs)
+        prev = state.get[0] if state.exists else 0
+        total = prev + seen
+        state.update((total,))
+        if total > 1:
+            yield pd.DataFrame({key_col: [key[0]],
+                                "dup_count": [total]})
+
+    return (stream.select(key_col)
+                  .groupBy(key_col)
+                  .applyInPandasWithState(
+                      track,
+                      outputStructType=f"{key_col} string, dup_count long",
+                      stateStructType="count long",
+                      outputMode="update",
+                      timeoutConf=GroupStateTimeout.NoTimeout))

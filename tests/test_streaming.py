@@ -54,3 +54,33 @@ def test_stream_windowed_verdicts(tmp_path, spark):
              validate_pages(pages)["partition_verdicts"].collect()}
     got = {str(r["window_start"])[:10]: r["invalid_rows"] for r in rows}
     assert got == batch
+
+
+def test_streaming_stateful_uniqueness(tmp_path, spark):
+    """applyInPandasWithState cross-batch dedup: duplicate urls split
+    ACROSS micro-batches are still flagged (keyed state carries the
+    first batch's counts into the second), and the final per-key counts
+    equal the batch ground truth."""
+    from m3spark.streaming import streaming_unique_violations
+
+    src = str(tmp_path / "incoming3")
+    pages = generate_pages(spark, 4000)
+    # many small files -> many micro-batches (maxFilesPerTrigger=1)
+    pages.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema(pages.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+    dups = streaming_unique_violations(stream, "url")
+    q = (dups.writeStream.format("memory").queryName("stream_dups")
+             .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # update mode re-emits growing counts; the max per key is the total
+    got = {r["url"]: r["dup_count"] for r in spark.sql(
+        "SELECT url, max(dup_count) AS dup_count FROM stream_dups "
+        "GROUP BY url").collect()}
+
+    batch = {r["url"]: r["dup_count"] for r in
+             pages.groupBy("url").agg(F.count(F.lit(1)).alias("dup_count"))
+                  .where("dup_count > 1").collect()}
+    assert batch, "generator should plant duplicate urls"
+    assert got == batch
