@@ -574,3 +574,52 @@ CASES2 += [
 ]
 
 CASES2 += _enum_matrix() + _length_matrix() + _items_bounds_matrix()
+
+
+# ------------------------------------------------------- cross-draft replay
+# The official suite replays the same group under every draft where the
+# keywords mean the same thing.  These keywords are semantically
+# identical across draft-06/07/2019-09/2020-12 (format is excluded:
+# newer drafts define formats — duration, uuid — that older drafts
+# treat as unknown; $-keywords and draft-versioned applicators too).
+
+_CROSS_DRAFT_SAFE = {
+    "type", "enum", "const", "minimum", "maximum", "exclusiveMinimum",
+    "exclusiveMaximum", "multipleOf", "minLength", "maxLength", "pattern",
+    "required", "properties", "patternProperties", "additionalProperties",
+    "propertyNames", "minProperties", "maxProperties", "contains",
+    "minItems", "maxItems", "uniqueItems", "allOf", "anyOf", "oneOf",
+    "not", "title", "description", "default", "examples",
+}
+
+
+def _keywords_of(node):
+    kws = set()
+    if isinstance(node, dict):
+        for k, v in node.items():
+            kws.add(k)
+            kws |= _keywords_of(v)
+    elif isinstance(node, list):
+        for v in node:
+            kws |= _keywords_of(v)
+    return kws
+
+
+def _cross_draft_replay(cases):
+    out = []
+    for draft, desc, schema, tests in cases:
+        if draft != D20 or not isinstance(schema, dict):
+            continue
+        if not _keywords_of(schema) <= _CROSS_DRAFT_SAFE:
+            continue
+        for other in (D6, D7, D19):
+            out.append((other, f"{desc} [replay {other}]", schema, tests))
+    return out
+
+
+CASES2 += _cross_draft_replay(CASES2)
+
+# replay corpus 1's draft-agnostic 2020-12 groups the same way
+from corpus import CASES as _CASES1  # noqa: E402
+
+CASES2 += _cross_draft_replay(_CASES1)

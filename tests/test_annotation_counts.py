@@ -39,6 +39,34 @@ def test_annotation_counts_pinned():
     assert totals == (0, 5, 4)
 
 
+def test_corpus_wide_annotation_counts_pinned():
+    """Suite-scale analog of the reference's per-draft annotation-count
+    pins (testsuite_test.cljc:109-116): replay the ENTIRE corpus and pin
+    total warning/info counts per draft.  Any change that silently adds
+    or drops annotations anywhere in the engine trips this."""
+    import sys
+    from collections import defaultdict
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parent))
+    from corpus import CASES
+    from corpus2 import CASES2
+
+    warn = defaultdict(int)
+    info = defaultdict(int)
+    for draft, _desc, schema, tests in CASES + CASES2:
+        cs = compile_schema(schema, draft=draft, format_assertion=True)
+        for data, _expected in tests:
+            r = cs.validate(data)
+            warn[draft] += len(r.warnings)
+            info[draft] += len(r.infos)
+    # 2019-09: content-annotation warnings (3); 2020-12: content (2);
+    # the corpus plants no $comment/deprecated docs -> zero infos
+    assert dict(warn) == {"draft3": 0, "draft4": 0, "draft6": 0,
+                          "draft7": 0, "draft2019-09": 3,
+                          "draft2020-12": 2, "draft-next": 0}, dict(warn)
+    assert all(v == 0 for v in info.values()), dict(info)
+
+
 def test_assertion_mode_flips_warnings_to_errors():
     cs = compile_schema(SCHEMA, format_assertion=True)
     r = cs.validate({"ip": "999.0.0.1"})
