@@ -267,9 +267,12 @@ def q_text_tokens_documents(spark, sf_dir):
     return token_stats(docs, "doc_id", "text")
 
 
-def q_dedup_embedding_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force within an id range;
-    the LSH-bucketed variant is q_lsh_ann_embeddings)."""
+def q_dedup_embedding_pairs_baseline(spark, sf_dir):
+    """BRUTE-FORCE BASELINE ONLY — O(n²) self-join, id-capped; exists as
+    the exact recall denominator for the LSH scale paths
+    (q_dedup_embedding_lsh / q_lsh_ann_embeddings).  Never run this
+    shape at scale: the headline embedding-dedup operator is
+    q_dedup_embedding_lsh (bucketed candidate join, linear in rows)."""
     from m3spark.ops.similarity import _dot, _norm
 
     emb = (_t(spark, sf_dir, "embeddings")
@@ -402,6 +405,46 @@ def q_lsh_ann_embeddings(spark, sf_dir):
                           .alias("found_by_lsh")))
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """HEADLINE embedding-dedup operator: random-hyperplane LSH over the
+    FULL table (no id caps anywhere) — candidate pairs come from an
+    equi-join on (table, bucket), linear in rows, so the same plan holds
+    at 100 TB.  Near-duplicates are planted deterministically (every
+    vec_id % 10 == 7 gets a perturbed copy at id+1000000, cosine
+    ~0.9999 — a 10% dup rate, the realistic dedup scenario) so ground
+    truth is known in closed form.  Output: one row per ground-truth OR
+    LSH-found pair with a recall column — the oracle emits exactly the
+    planted pairs with found_by_lsh=TRUE, so a missed pair (recall < 1)
+    or a false positive (extra row) turns the driver gate red in both
+    directions.  Brute force (q_dedup_embedding_pairs_baseline) is kept
+    only as the O(n²) recall denominator."""
+    from m3spark.ops.similarity import _dot, _norm, lsh_ann_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    planted = emb.where(F.col("vec_id") % 10 == 7).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01) * x * x).alias("v"))
+    union = emb.unionByName(planted)
+    lsh = lsh_ann_pairs(union, "v", 64, id_col="vec_id", n_planes=12,
+                        min_cosine=0.99, n_tables=8)
+    truth_cos = _dot(F.col("o.v"), F.col("p.v")) / (
+        _norm(F.col("o.v")) * _norm(F.col("p.v")))
+    truth = (emb.alias("o")
+             .join(planted.alias("p"),
+                   F.col("p.vec_id") == F.col("o.vec_id") + 1000000)
+             .select(F.col("o.vec_id").alias("id_a"),
+                     F.col("p.vec_id").alias("id_b"),
+                     F.round(truth_cos, 6).alias("t_cos")))
+    return (truth.join(lsh.withColumnRenamed("cosine", "l_cos"),
+                       ["id_a", "id_b"], "full_outer")
+                 .select("id_a", "id_b",
+                         F.coalesce("t_cos", "l_cos").alias("cosine"),
+                         F.col("t_cos").isNotNull().alias("in_truth"),
+                         F.col("l_cos").isNotNull().alias("found_by_lsh")))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -413,6 +456,60 @@ def q_multimodal_features(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload"))
     return (decode_binary_features(docs, "payload", "doc_id")
             .select("doc_id", "media_type", "n_bytes", "checksum",
+                    F.round("feature_mean", 6).alias("feature_mean")))
+
+
+# deterministic container payloads for the header-parser battery: one
+# hex-string closed form shared verbatim by Spark SQL and DuckDB (both
+# have hex/lpad/concat/if with identical semantics for these inputs), so
+# the oracle builds byte-identical payloads and predicts the parsed
+# dimensions in closed form.  Per doc_id d: d%3 picks PNG/JPEG/WAV;
+# w=(d%200)+1, h=(d%120)+1; PNG color type 02(rgb,3ch)/06(rgba,4ch);
+# JPEG 3 or 1 components; WAV (d%2)+1 channels at 8-24 kHz.
+_WAV_RATE = "(8000 + (doc_id % 5) * 4000)"
+_WAV_CH = "((doc_id % 2) + 1)"
+_WAV_BR = f"({_WAV_RATE} * {_WAV_CH} * 2)"
+PAYLOAD_HEX_SQL = f"""
+CASE CAST(doc_id % 3 AS INT)
+WHEN 0 THEN concat('89504E470D0A1A0A0000000D49484452',
+                   lpad(hex((doc_id % 200) + 1), 8, '0'),
+                   lpad(hex((doc_id % 120) + 1), 8, '0'),
+                   '08', if(doc_id % 2 = 0, '02', '06'), '000000')
+WHEN 1 THEN if(doc_id % 2 = 0,
+    concat('FFD8FFC0001108', lpad(hex((doc_id % 120) + 1), 4, '0'),
+           lpad(hex((doc_id % 200) + 1), 4, '0'),
+           '03011100021101031101FFD9'),
+    concat('FFD8FFC0000B08', lpad(hex((doc_id % 120) + 1), 4, '0'),
+           lpad(hex((doc_id % 200) + 1), 4, '0'), '01011100FFD9'))
+ELSE concat('5249464624000000', '57415645', '666D7420', '10000000',
+            '0100', lpad(hex({_WAV_CH}), 2, '0'), '00',
+            lpad(hex({_WAV_RATE} % 256), 2, '0'),
+            lpad(hex(CAST(FLOOR({_WAV_RATE} / 256) AS INT) % 256), 2, '0'),
+            '0000',
+            lpad(hex({_WAV_BR} % 256), 2, '0'),
+            lpad(hex(CAST(FLOOR({_WAV_BR} / 256) AS INT) % 256), 2, '0'),
+            lpad(hex(CAST(FLOOR({_WAV_BR} / 65536) AS INT) % 256), 2, '0'),
+            '00', lpad(hex({_WAV_CH} * 2), 2, '0'), '00',
+            '1000', '6461746100000000')
+END"""
+
+
+def q_multimodal_image_headers(spark, sf_dir):
+    """REAL container-header decode battery: deterministic PNG / JPEG /
+    WAV payloads are assembled byte-for-byte from doc_id (shared hex
+    closed form, PAYLOAD_HEX_SQL), parsed by the dependency-free header
+    parsers in ops.multimodal (PNG IHDR, JPEG SOFn marker walk, RIFF fmt
+    chunk) inside the Arrow mapInPandas stage, and the oracle predicts
+    width/height/channels/n_bytes/feature_mean in closed form from the
+    same payloads — a wrong magic branch, endianness slip, or offset bug
+    hash-mismatches."""
+    from m3spark.ops import decode_binary_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.expr(PAYLOAD_HEX_SQL)).alias("payload"))
+    return (decode_binary_features(docs, "payload", "doc_id")
+            .select("doc_id", "media_type", "n_bytes", "width", "height",
+                    "channels",
                     F.round("feature_mean", 6).alias("feature_mean")))
 
 
@@ -470,7 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_ks": q_drift_events_ks,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_jaccard_documents": q_dedup_jaccard_documents,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_baseline": q_dedup_embedding_pairs_baseline,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_topk_embeddings": q_sim_topk_embeddings,
         "text_tokens_documents": q_text_tokens_documents,
         "text_quality_documents": q_text_quality_documents,
@@ -482,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "ann_ivf_fixed_embeddings": q_ann_ivf_fixed_embeddings,
         "multimodal_features": q_multimodal_features,
+        "multimodal_image_headers": q_multimodal_image_headers,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
         # rows-only (MLlib KMeans quantizer has no SQL analog; the
@@ -687,7 +786,7 @@ def oracle_sql() -> dict[str, str]:
                        '| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::INT AS n_tokens_bpe
             FROM documents
         """,
-        "dedup_embedding_pairs": """
+        "dedup_embedding_pairs_baseline": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings WHERE vec_id < 200)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -698,6 +797,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_dot_product(a.v, b.v) /
                   (sqrt(list_dot_product(a.v, a.v)) *
                    sqrt(list_dot_product(b.v, b.v))) >= 0.3
+        """,
+        # ground truth for the headline LSH dedup: exactly the planted
+        # near-dup pairs, found_by_lsh asserted TRUE and in_truth TRUE —
+        # a missed pair (recall < 1) or an LSH false positive (extra
+        # output row) hash-mismatches in either direction
+        "dedup_embedding_lsh": """
+            WITH o AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 10 = 7),
+            p AS (SELECT vec_id, v,
+                         list_transform(v, x -> x + 0.01 * x * x) AS vp
+                  FROM o)
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   ROUND(list_dot_product(v, vp) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(vp, vp))), 6) AS cosine,
+                   TRUE AS in_truth, TRUE AS found_by_lsh
+            FROM p
         """,
         "text_quality_documents": """
             WITH t AS (
@@ -872,6 +988,33 @@ def oracle_sql() -> dict[str, str]:
                              i -> unicode(substr(text, i, 1)))) /
                          octet_length(encode(text)), 6) AS feature_mean
             FROM documents
+        """,
+        # header-parser battery: DuckDB assembles the identical payload
+        # hex (shared closed form) and predicts every parsed field;
+        # feature_mean re-derived by parsing the hex pairs back to bytes
+        "multimodal_image_headers": f"""
+            WITH hx AS (SELECT doc_id, {PAYLOAD_HEX_SQL} AS ph
+                        FROM documents)
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/jpeg'
+                     ELSE 'audio/wav' END AS media_type,
+                   CAST(length(ph) / 2 AS INT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE (doc_id % 200) + 1 END AS INT) AS width,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+                        ELSE (doc_id % 120) + 1 END AS INT) AS height,
+                   CAST(CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN if(doc_id % 2 = 0, 3, 4)
+                     WHEN 1 THEN if(doc_id % 2 = 0, 3, 1)
+                     ELSE (doc_id % 2) + 1 END AS INT) AS channels,
+                   ROUND(list_sum(list_transform(
+                           range(0, CAST(length(ph) / 2 AS INT)),
+                           i -> ('0x' || substr(ph, CAST(2*i+1 AS INT),
+                                                2))::INT)) * 1.0
+                         / (length(ph) / 2), 6) AS feature_mean
+            FROM hx
         """,
         # independent re-derivation of the flagship pipeline's verdicts:
         # rebuild each generated row's crawl day / url / lang from the

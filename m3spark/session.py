@@ -14,7 +14,17 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "m3spark", cores: int | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              executors: int | None = None,
+              executor_mem_mb: int = 4096) -> SparkSession:
+    """``executors=None`` → single-JVM ``local[cores]``.
+
+    ``executors=E`` → ``local-cluster[E, cores, mem]``: E separate
+    executor JVM processes with their own Python workers, shuffling
+    through real block transfers — the in-sandbox analog of growing a
+    real cluster from N to 4N executors (BASELINE.md scaling plan).
+    The m3spark package ships to executors the same way a
+    ``spark-submit --py-files m3spark.zip`` deployment would."""
     if cores is None:
         # this sandbox oversubscribes vCPUs above ~16 threads (local[32]
         # is measurably SLOWER than local[16]); honor an explicit
@@ -23,11 +33,22 @@ def get_spark(app: str = "m3spark", cores: int | None = None,
         cores = int(env) if env else min(16, os.cpu_count() or 16)
     if shuffle_partitions is None:
         # scale shuffle width with cores (2x for scheduling overlap)
-        shuffle_partitions = max(8, cores * 2)
-    builder = (
-        SparkSession.builder
-        .master(f"local[{cores}]")
-        .appName(app))
+        total = cores * (executors or 1)
+        shuffle_partitions = max(8, total * 2)
+    if executors is None:
+        builder = (
+            SparkSession.builder
+            .master(f"local[{cores}]")
+            .appName(app))
+    else:
+        from jobs.package import build as build_pyfiles
+
+        builder = (
+            SparkSession.builder
+            .master(f"local-cluster[{executors},{cores},{executor_mem_mb}]")
+            .appName(app)
+            .config("spark.submit.pyFiles", build_pyfiles())
+            .config("spark.executor.memory", f"{executor_mem_mb}m"))
     java_opts = os.environ.get("M3SPARK_JAVA_OPTS")
     if java_opts:
         # e.g. GC selection for oversubscribed-host experiments
