@@ -55,6 +55,47 @@ EVENT_PROPS_SCHEMA = {
 }
 
 
+CONTENT_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2019-09/schema",
+    "properties": {
+        "payload": {
+            "type": "string",
+            "contentEncoding": "base64",
+            "contentMediaType": "application/json",
+            "contentSchema": {
+                "type": "object",
+                "required": ["name", "port"],
+                "properties": {
+                    "name": {"type": "string", "minLength": 2},
+                    "port": {"type": "integer", "minimum": 1,
+                             "maximum": 65535},
+                },
+            },
+        },
+    },
+}
+
+# deterministic base64-JSON payload battery keyed on doc_id % 8:
+# 0/7 valid, 1 minLength, 2 minimum, 3 maximum, 4 required,
+# 5 invalid JSON, 6 invalid base64
+CONTENT_PAYLOAD_SQL = """
+CASE CAST(doc_id % 8 AS INT)
+WHEN 0 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80)), 'UTF-8'))
+WHEN 1 THEN base64(encode(to_json(named_struct(
+            'name', 'x', 'port', 80)), 'UTF-8'))
+WHEN 2 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 0)), 'UTF-8'))
+WHEN 3 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 99999)), 'UTF-8'))
+WHEN 4 THEN base64(encode(to_json(named_struct('name', 'web')), 'UTF-8'))
+WHEN 5 THEN base64(encode('not json {', 'UTF-8'))
+WHEN 6 THEN '!!!not base64!!!'
+ELSE base64(encode(to_json(named_struct(
+            'name', 'db', 'port', 5432)), 'UTF-8'))
+END"""
+
+
 # --------------------------------------------------------------------------
 # queries
 
@@ -445,6 +486,23 @@ def q_dedup_embedding_lsh(spark, sf_dir):
                          F.col("l_cos").isNotNull().alias("found_by_lsh")))
 
 
+def q_val_content_documents(spark, sf_dir):
+    """Columnar content keywords (§2.9): base64-JSON payloads built from
+    a closed form on doc_id, validated entirely JVM-side (rlike +
+    is_valid_utf8(unbase64) + try_parse_json + variant predicates for
+    the contentSchema — 0 Python stages, see PLANS.md).  The oracle
+    predicts each violation (keyword, schema path, level) from the same
+    modular arithmetic, so a wrong decode branch, gate, or path slips
+    the hash."""
+    from m3spark.columnar import ColumnarValidator
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(CONTENT_PAYLOAD_SQL).alias("payload"))
+    cv = ColumnarValidator(CONTENT_SCHEMA)
+    return (cv.violation_rows(docs, "doc_id")
+              .select("doc_id", "keyword", "schema_path", "level"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -558,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_events_props": q_val_events_props,
         "val_events_props_struct": q_val_events_props_struct,
         "val_orders_conditional": q_val_orders_conditional,
+        "val_content_documents": q_val_content_documents,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -668,6 +727,32 @@ def oracle_sql() -> dict[str, str]:
                     AND (o_orderpriority IS NULL
                          OR o_custkey IS NOT NULL)) AS valid
             FROM orders
+        """,
+        # content-keyword battery: the oracle predicts each violation
+        # from the doc_id closed form behind CONTENT_PAYLOAD_SQL
+        # (2019-09 -> every content violation is a warning; encoding
+        # failure suppresses downstream checks; checker registered under
+        # contentEncoding so every schema path hangs off it)
+        "val_content_documents": """
+            WITH b AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS m
+                       FROM documents)
+            SELECT doc_id,
+                   CASE m WHEN 1 THEN 'minLength' WHEN 2 THEN 'minimum'
+                          WHEN 3 THEN 'maximum' WHEN 4 THEN 'required'
+                          WHEN 5 THEN 'contentMediaType'
+                          ELSE 'contentEncoding' END AS keyword,
+                   '/properties/payload/contentEncoding' ||
+                   CASE m
+                     WHEN 1 THEN
+                       '/contentSchema/properties/name/minLength'
+                     WHEN 2 THEN
+                       '/contentSchema/properties/port/minimum'
+                     WHEN 3 THEN
+                       '/contentSchema/properties/port/maximum'
+                     WHEN 4 THEN '/contentSchema/required'
+                     ELSE '' END AS schema_path,
+                   'warning' AS level
+            FROM b WHERE m IN (1, 2, 3, 4, 5, 6)
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count

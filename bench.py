@@ -191,11 +191,21 @@ def _cpu_baseline(n_low: int, n_high: int, n_hashes: int = 800_000) -> dict:
 
 
 def _scale_once(cores: int, n_pages: int,
-                executors: int | None = None) -> dict:
+                executors: int | None = None,
+                cpuset: str | None = None) -> dict:
+    """One level in a fresh subprocess.  ``cpuset`` (e.g. "0-3") confines
+    the WHOLE process tree — driver + executor JVMs (GC/JIT threads
+    included) + Python workers — to exactly that many host CPUs via
+    taskset, so an 'N-core' level really consumes N cores.  Without it a
+    '4-slot' level silently borrows extra host CPUs for JVM service
+    threads and Arrow workers, inflating low-level throughput and
+    understating scaling efficiency."""
     args = [sys.executable, __file__, "--_scale-run", str(cores),
             str(n_pages)]
     if executors:
         args += ["--executors", str(executors)]
+    if cpuset:
+        args = ["taskset", "-c", cpuset] + args
     out = subprocess.run(
         args, capture_output=True, text=True, check=True,
         cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -220,8 +230,10 @@ def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
     n_low, n_high = e_low * cores_per, e_high * cores_per
     attempts_out = []
     for _ in range(attempts):
-        lo = _scale_once(cores_per, n_pages, executors=e_low)
-        hi = _scale_once(cores_per, n_pages, executors=e_high)
+        lo = _scale_once(cores_per, n_pages, executors=e_low,
+                         cpuset=f"0-{n_low - 1}")
+        hi = _scale_once(cores_per, n_pages, executors=e_high,
+                         cpuset=f"0-{n_high - 1}")
         cpu = _cpu_baseline(n_low, n_high)
         eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * (n_high / n_low))
         attempts_out.append({

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from m3spark.schema.core import (
-    DRAFT3, DRAFT4, D2019, _ge, draft_of, meta_validate_schema,
+    DRAFT3, DRAFT4, DRAFT7, D2019, _ge, draft_of, meta_validate_schema,
 )
 from m3spark.schema.formats import (
     FORMATS, IPV6_PATTERN, SPARK_RLIKE, URI_BAD_PCT_PATTERN,
@@ -307,6 +307,7 @@ class ColumnarValidator:
         "minProperties", "maxProperties",
         "title", "description", "default", "examples", "$comment",
         "deprecated", "readOnly", "writeOnly",
+        "contentEncoding", "contentMediaType", "contentSchema",
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
@@ -560,6 +561,10 @@ class ColumnarValidator:
                           f"not a valid {fmt}", level,
                           _string_only(_format_pred(fmt)))
 
+        if _ge(draft, DRAFT7) and ("contentEncoding" in sub
+                                   or "contentMediaType" in sub):
+            self._compile_content(name, sub, sp, draft)
+
         self._compile_array_keywords(name, sub, sp)
         self._compile_struct_keywords(name, sub, sp)
         self._compile_map_keywords(name, sub, sp)
@@ -578,6 +583,177 @@ class ColumnarValidator:
                       "error",
                       lambda col, dt, _b=builders: ~_reduce_and(
                           [b(col, dt) for b in _b]))
+
+    # -- content keywords (decode-then-validate, §2.9) -----------------------
+    # Lowered to pure JVM expressions: base64 structural validity as one
+    # rlike + is_valid_utf8(unbase64(...)), JSON well-formedness as
+    # try_parse_json IS NOT NULL, and contentSchema as variant-typed
+    # predicates over the decoded column — zero Python stages.  Interp
+    # parity (core.py c_content, reference property.cljc:743-810): the
+    # checker is registered under contentEncoding when present, so every
+    # content violation carries that keyword's schema path; draft-07 =
+    # errors, 2019+ = warnings; an invalid encoding suppresses the
+    # downstream media-type / schema checks.
+
+    def _compile_content(self, name: str, sub: dict, sp: str, draft):
+        enc = sub.get("contentEncoding")
+        mt = sub.get("contentMediaType")
+        csch = sub.get("contentSchema")
+        level = "error" if draft == DRAFT7 else "warning"
+        reg = ("contentEncoding" if "contentEncoding" in sub
+               else "contentMediaType")
+        csp = f"{sp}/{reg}"
+        b64 = enc == "base64"
+
+        if b64:
+            self._add(name, "contentEncoding", csp, "not valid base64",
+                      level, _string_only(lambda col, dt: _b64_ok(col)))
+
+        if mt != "application/json":
+            return
+
+        def dec(col):
+            return F.unbase64(col).cast("string") if b64 else col
+
+        def json_ok(col, dt):
+            ok = F.try_parse_json(dec(col)).isNotNull()
+            # an invalid encoding already produced its own violation;
+            # the interpreter returns early there (core.py c_content)
+            return (~_b64_ok(col) | ok) if b64 else ok
+
+        self._add(name, "contentMediaType", csp,
+                  "content is not valid JSON", level,
+                  _string_only(json_ok))
+
+        if isinstance(csch, (dict, bool)) and _ge(draft, D2019):
+            for kw, spath, msg, inner in self._lower_content_schema(
+                    csch, f"{csp}/contentSchema"):
+                def gated(col, dt, _inner=inner):
+                    v = F.try_parse_json(dec(col))
+                    gate = v.isNotNull()
+                    if b64:
+                        gate = _b64_ok(col) & gate
+                    return ~gate | _inner(v)
+                # interp parity: every contentSchema violation is a
+                # warning regardless of draft (core.py c_content)
+                self._add(name, kw, spath, msg, "warning",
+                          _string_only(gated))
+
+    _CONTENT_SCALARS = {"type", "minLength", "maxLength", "pattern",
+                        "minimum", "maximum", "const", "enum"}
+
+    def _lower_content_schema(self, csch, sp: str) -> list:
+        """Lower a contentSchema fragment to predicates over a VARIANT
+        column (the try_parse_json of the decoded content).  Supported
+        subset: root type/required + scalar-keyword properties; anything
+        deeper routes the schema to the interpreter via
+        UnsupportedKeyword (the compiler's standing escape hatch)."""
+        if csch is True or csch == {}:
+            return []
+        if csch is False:
+            return [("false", sp, "schema is false: nothing is valid",
+                     lambda v: F.lit(False))]
+        out = []
+        for k in csch:
+            if k not in ("type", "required", "properties"):
+                self.unsupported.append(f"{sp}/{k} (contentSchema subset)")
+        t = csch.get("type")
+        if isinstance(t, str):
+            out.append(("type", f"{sp}/type", f"expected type {t}",
+                        lambda v, _t=t: _variant_type_ok(v, _t)))
+        req = csch.get("required")
+        if isinstance(req, list):
+            for k in req:
+                self._check_variant_key(k, sp)
+                out.append((
+                    "required", f"{sp}/required",
+                    f"required property {k!r} missing",
+                    # required binds only on objects (presence semantics)
+                    lambda v, _k=k: ~_variant_is(v, "OBJECT")
+                    | _variant_field(v, _k).isNotNull()))
+        props = csch.get("properties")
+        if isinstance(props, dict):
+            for pk, psub in props.items():
+                self._check_variant_key(pk, sp)
+                out.extend(self._lower_content_property(
+                    pk, psub, f"{sp}/properties/{pk}"))
+        return out
+
+    def _check_variant_key(self, k, sp):
+        if not isinstance(k, str) or not k.isidentifier():
+            self.unsupported.append(
+                f"{sp} (contentSchema key {k!r} needs JSON-pointer "
+                f"escaping in a variant path)")
+
+    def _lower_content_property(self, pk: str, psub, sp: str) -> list:
+        if psub is True or psub == {}:
+            return []
+        if not isinstance(psub, dict):
+            return []
+        for k in psub:
+            if k not in self._CONTENT_SCALARS:
+                self.unsupported.append(f"{sp}/{k} (contentSchema subset)")
+        out = []
+
+        def field_gate(v):
+            # missing property (or non-object parent) passes every check
+            return _variant_field(v, pk).isNull()
+
+        t = psub.get("type")
+        if isinstance(t, str):
+            out.append(("type", f"{sp}/type", f"expected type {t}",
+                        lambda v, _t=t: field_gate(v)
+                        | _variant_type_ok(_variant_field(v, pk), _t)))
+        for kw, keep in (("minLength", lambda s, n: F.length(s) >= n),
+                         ("maxLength", lambda s, n: F.length(s) <= n)):
+            if isinstance(psub.get(kw), int):
+                n = psub[kw]
+                out.append((
+                    kw, f"{sp}/{kw}",
+                    f"string {'shorter' if kw == 'minLength' else 'longer'}"
+                    f" than {n}",
+                    lambda v, _n=n, _keep=keep: field_gate(v)
+                    | ~_variant_is(_variant_field(v, pk), "STRING")
+                    | _keep(_variant_str(v, pk), _n)))
+        if isinstance(psub.get("pattern"), str):
+            pat = psub["pattern"]
+            pred = _pattern_pred(pat, self._force_py)
+            if not getattr(pred, "_jvm", True):
+                self.unsupported.append(
+                    f"{sp}/pattern (python-only regex inside "
+                    f"contentSchema)")
+            else:
+                out.append((
+                    "pattern", f"{sp}/pattern",
+                    f"string does not match {pat!r}",
+                    lambda v, _p=pred: field_gate(v)
+                    | ~_variant_is(_variant_field(v, pk), "STRING")
+                    | _p(_variant_str(v, pk), T.StringType())))
+        for kw, op in (("minimum", ">="), ("maximum", "<=")):
+            b = psub.get(kw)
+            if isinstance(b, (int, float)) and not isinstance(b, bool):
+                out.append((
+                    kw, f"{sp}/{kw}", f"value is not {op} {b}",
+                    lambda v, _b=b, _op=op: field_gate(v)
+                    | ~_variant_is_number(_variant_field(v, pk))
+                    | (_variant_num(v, pk) >= _b if _op == ">="
+                       else _variant_num(v, pk) <= _b)))
+        if "const" in psub or isinstance(psub.get("enum"), list):
+            vals = ([psub["const"]] if "const" in psub
+                    else list(psub["enum"]))
+            kw = "const" if "const" in psub else "enum"
+            if not all(isinstance(x, (str, int, float, bool))
+                       or x is None for x in vals):
+                self.unsupported.append(
+                    f"{sp}/{kw} (non-scalar literal inside contentSchema)")
+            else:
+                out.append((
+                    kw, f"{sp}/{kw}",
+                    ("value does not equal const" if kw == "const"
+                     else f"value not in enum ({len(vals)} options)"),
+                    lambda v, _vals=tuple(vals): field_gate(v)
+                    | _variant_scalar_in(v, pk, _vals)))
+        return out
 
     def _nested_builders(self, frag, sp) -> list:
         """Compile a subschema fragment into JVM-only builders usable
@@ -975,6 +1151,91 @@ def _numeric_only(build):
         return build(col, dt)
     guarded._jvm = getattr(build, "_jvm", True)
     return guarded
+
+
+# -- content-keyword helpers (variant-typed predicates) ----------------------
+
+# structural base64 per RFC 4648 §4 with mandatory padding — matches the
+# interpreter's base64.b64decode(validate=True) acceptance exactly
+# (whitespace and out-of-alphabet chars reject; empty string accepts)
+_B64_STRUCT_PATTERN = ("^(?:[A-Za-z0-9+/]{4})*"
+                       "(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+
+
+def _b64_ok(col: Column) -> Column:
+    """Valid base64 AND the decoded bytes are valid UTF-8 (the interp
+    decodes to str; unbase64 alone is lenient, hence the rlike gate)."""
+    return col.rlike(_B64_STRUCT_PATTERN) & \
+        F.is_valid_utf8(F.unbase64(col))
+
+
+def _variant_field(v: Column, k: str) -> Column:
+    """The field as a VARIANT; SQL NULL iff missing (a JSON null field
+    is a non-null VOID variant, so presence is distinguishable)."""
+    return F.try_variant_get(v, f"$.{k}", "variant")
+
+
+def _variant_is(v: Column, prefix: str) -> Column:
+    return F.schema_of_variant(v).startswith(prefix)
+
+
+def _variant_is_number(v: Column) -> Column:
+    t = F.schema_of_variant(v)
+    return t.isin("BIGINT", "DOUBLE") | t.startswith("DECIMAL")
+
+
+def _variant_type_ok(v: Column, t: str) -> Column:
+    """JSON-type check on a variant value (draft-06+ semantics: an
+    integral-valued float IS an integer)."""
+    typ = F.schema_of_variant(v)
+    if t == "object":
+        return typ.startswith("OBJECT")
+    if t == "array":
+        return typ.startswith("ARRAY")
+    if t == "string":
+        return typ == "STRING"
+    if t == "boolean":
+        return typ == "BOOLEAN"
+    if t == "null":
+        return typ == "VOID"
+    if t == "integer":
+        return (typ == "BIGINT") | (
+            (typ.startswith("DECIMAL") | (typ == "DOUBLE"))
+            & (F.pmod(F.try_variant_get(v, "$", "double"), F.lit(1.0))
+               == 0))
+    if t == "number":
+        return _variant_is_number(v)
+    return F.lit(False)
+
+
+def _variant_num(v: Column, k: str) -> Column:
+    return F.try_variant_get(v, f"$.{k}", "double")
+
+
+def _variant_str(v: Column, k: str) -> Column:
+    return F.try_variant_get(v, f"$.{k}", "string")
+
+
+def _variant_scalar_in(v: Column, k: str, vals: tuple) -> Column:
+    """JSON equality of a variant field against scalar literals: typed
+    (1 != true, 1 != "1") but numeric-kind-blind (1 == 1.0)."""
+    f = _variant_field(v, k)
+    typ = F.schema_of_variant(f)
+    preds = []
+    for x in vals:
+        if x is None:
+            preds.append(typ == "VOID")
+        elif isinstance(x, bool):
+            preds.append((typ == "BOOLEAN")
+                         & (F.try_variant_get(v, f"$.{k}", "boolean")
+                            == F.lit(x)))
+        elif isinstance(x, (int, float)):
+            preds.append(_variant_is_number(f)
+                         & (_variant_num(v, k) == F.lit(float(x))))
+        else:
+            preds.append((typ == "STRING") & (_variant_str(v, k)
+                                              == F.lit(x)))
+    return _reduce_or(preds)
 
 
 def _string_only(build):

@@ -1586,7 +1586,13 @@ def c_content(cs, node, v, draft, sp, base):
                             "not valid base64", level)
         if mt == "application/json":
             try:
-                parsed = json.loads(decoded)
+                # strict: Python's default parse accepts NaN/Infinity,
+                # which neither RFC 8259, the reference's JSON parser,
+                # nor the columnar try_parse_json lowering do
+                parsed = json.loads(
+                    decoded,
+                    parse_constant=lambda c: (_ for _ in ()).throw(
+                        ValueError(f"non-JSON constant {c}")))
             except ValueError:
                 return _err("contentMediaType", sp, p,
                             "content is not valid JSON", level)

@@ -1,0 +1,201 @@
+"""Columnar content keywords (§2.9): contentEncoding / contentMediaType /
+contentSchema lowered to pure JVM expressions (rlike + is_valid_utf8 +
+unbase64 + try_parse_json + variant predicates) must agree with the
+Arrow interpreter (core.py c_content, reference property.cljc:743-810)
+on verdicts, keywords, schema paths, and levels for every payload."""
+
+from __future__ import annotations
+
+import base64
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from m3spark.columnar import ColumnarValidator, UnsupportedKeyword
+from m3spark.schema.core import compile_schema
+
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+D7 = "http://json-schema.org/draft-07/schema#"
+
+
+def b64(obj) -> str:
+    s = obj if isinstance(obj, str) else json.dumps(obj)
+    return base64.b64encode(s.encode()).decode()
+
+
+CONTENT_SCHEMA = {
+    "type": "object",
+    "required": ["name", "port"],
+    "properties": {
+        "name": {"type": "string", "minLength": 2, "maxLength": 10,
+                 "pattern": "^[a-z]+$"},
+        "port": {"type": "integer", "minimum": 1, "maximum": 65535},
+        "mode": {"enum": ["tcp", "udp", 6, None]},
+        "ok": {"const": True},
+    },
+}
+
+PAYLOADS = [
+    # (payload string, note)
+    (b64({"name": "web", "port": 80}), "valid doc"),
+    (b64({"name": "web", "port": 80, "mode": "tcp", "ok": True}), "all ok"),
+    (b64({"name": "x", "port": 80}), "name too short"),
+    (b64({"name": "toolongtoolong", "port": 80}), "name too long"),
+    (b64({"name": "Web", "port": 80}), "pattern fail"),
+    (b64({"name": "web"}), "missing required port"),
+    (b64({"name": "web", "port": None}), "explicit-null port (present)"),
+    (b64({"name": "web", "port": 0}), "port below minimum"),
+    (b64({"name": "web", "port": 99999}), "port above maximum"),
+    (b64({"name": "web", "port": 80.0}), "float-integral port"),
+    (b64({"name": "web", "port": 80.5}), "fractional port"),
+    (b64({"name": "web", "port": "80"}), "string port"),
+    (b64({"name": 7, "port": 80}), "non-string name"),
+    (b64({"name": "web", "port": 80, "mode": "sctp"}), "enum miss"),
+    (b64({"name": "web", "port": 80, "mode": 6}), "enum int hit"),
+    (b64({"name": "web", "port": 80, "mode": 6.0}), "enum 6.0 == 6"),
+    (b64({"name": "web", "port": 80, "mode": None}), "enum null hit"),
+    (b64({"name": "web", "port": 80, "mode": True}), "enum true != 6"),
+    (b64({"name": "web", "port": 80, "ok": False}), "const miss"),
+    (b64({"name": "web", "port": 80, "ok": 1}), "const 1 != true"),
+    (b64([1, 2, 3]), "array not object (type fails, required passes)"),
+    (b64("plain"), "json string not object"),
+    (b64("3"), "json integer not object"),
+    (b64("not json {{{"), "valid b64, invalid json"),
+    ("!!!not-base64!!!", "invalid base64"),
+    ("aGVsbG8", "missing padding rejects (validate=True parity)"),
+    ("/w==", "valid b64, invalid utf-8"),
+    ("", "empty string: valid b64 of b'' -> invalid json"),
+    ("NaN".encode().hex() and b64("NaN"), "NaN rejected (strict JSON)"),
+    (None, "SQL null passes everything"),
+]
+
+
+def _interp_expected(payload, draft, schema):
+    cs = compile_schema({"$schema": draft,
+                         "properties": {"payload": schema}})
+    res = cs.validate({"payload": payload} if payload is not None else {})
+    viol = [(v.keyword, v.schema_path, v.level)
+            for v in res.errors + res.warnings]
+    return res.valid, sorted(viol)
+
+
+@pytest.mark.parametrize("draft", [D7, D2019])
+def test_content_parity(spark, draft):
+    sub = {"type": "string", "contentEncoding": "base64",
+           "contentMediaType": "application/json"}
+    if draft == D2019:
+        sub["contentSchema"] = CONTENT_SCHEMA
+    schema = {"$schema": draft, "properties": {"payload": sub}}
+    cv = ColumnarValidator(schema)
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(PAYLOADS)],
+        T.StructType([T.StructField("i", T.IntegerType()),
+                      T.StructField("payload", T.StringType())]))
+    rows = {r["i"]: r for r in cv.apply(df).collect()}
+    mismatches = []
+    for i, (payload, note) in enumerate(PAYLOADS):
+        exp_valid, exp_viol = _interp_expected(payload, draft, sub)
+        r = rows[i]
+        got_viol = sorted((v["keyword"], v["schema_path"], v["level"])
+                          for v in r["violations"])
+        if bool(r["valid"]) != exp_valid or got_viol != exp_viol:
+            mismatches.append(
+                f"{note!r}: columnar valid={r['valid']} viol={got_viol} "
+                f"interp valid={exp_valid} viol={exp_viol}")
+    assert not mismatches, "\n".join(mismatches)
+
+
+def test_d7_errors_2019_warnings(spark):
+    """draft-07 content violations are errors; 2019-09 downgrades to
+    warnings (so rows stay valid) — reference semantics."""
+    sub = {"contentEncoding": "base64"}
+    df = spark.createDataFrame([("!!!",)], ["payload"])
+    for draft, expect_valid, level in ((D7, False, "error"),
+                                       (D2019, True, "warning")):
+        cv = ColumnarValidator(
+            {"$schema": draft, "properties": {"payload": sub}})
+        r = cv.apply(df).collect()[0]
+        assert bool(r["valid"]) is expect_valid
+        assert [v["level"] for v in r["violations"]] == [level]
+
+
+def test_media_type_without_encoding(spark):
+    """contentMediaType alone validates the RAW string as content and
+    registers under /contentMediaType (interp c_content_media_type)."""
+    cv = ColumnarValidator(
+        {"$schema": D7,
+         "properties": {"payload": {"contentMediaType":
+                                    "application/json"}}})
+    df = spark.createDataFrame([('{"a":1}',), ("nope",)], ["payload"])
+    rows = sorted(cv.apply(df).collect(), key=lambda r: r["payload"])
+    ok = {r["payload"]: bool(r["valid"]) for r in rows}
+    assert ok == {'{"a":1}': True, "nope": False}
+    bad = [r for r in rows if not r["valid"]][0]
+    assert bad["violations"][0]["schema_path"] == \
+        "/properties/payload/contentMediaType"
+
+
+def test_encoding_failure_suppresses_downstream(spark):
+    """Invalid base64 yields ONLY the contentEncoding violation — the
+    interp returns early; media/schema checks must not double-fire."""
+    cv = ColumnarValidator(
+        {"$schema": D2019,
+         "properties": {"payload": {
+             "contentEncoding": "base64",
+             "contentMediaType": "application/json",
+             "contentSchema": {"type": "object"}}}})
+    df = spark.createDataFrame([("!!!",)], ["payload"])
+    r = cv.apply(df).collect()[0]
+    assert [v["keyword"] for v in r["violations"]] == ["contentEncoding"]
+
+
+def test_content_schema_false(spark):
+    cv = ColumnarValidator(
+        {"$schema": D2019,
+         "properties": {"payload": {
+             "contentEncoding": "base64",
+             "contentMediaType": "application/json",
+             "contentSchema": False}}})
+    df = spark.createDataFrame([(b64({"a": 1}),), ("!!!",)], ["payload"])
+    rows = {r["payload"]: r for r in cv.apply(df).collect()}
+    kws = [v["keyword"] for v in rows[b64({"a": 1})]["violations"]]
+    assert kws == ["false"]
+    assert all(v["level"] == "warning"
+               for v in rows[b64({"a": 1})]["violations"])
+
+
+def test_unsupported_content_schema_routes_to_interp():
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(
+            {"$schema": D2019,
+             "properties": {"payload": {
+                 "contentEncoding": "base64",
+                 "contentMediaType": "application/json",
+                 "contentSchema": {"properties":
+                                   {"x": {"properties": {}}}}}}})
+
+
+def test_old_drafts_ignore_content(spark):
+    """draft-06 has no content keywords: both engines treat them as
+    unknown annotations (no violations)."""
+    cv = ColumnarValidator(
+        {"$schema": "http://json-schema.org/draft-06/schema#",
+         "properties": {"payload": {"contentEncoding": "base64"}}})
+    df = spark.createDataFrame([("!!!",)], ["payload"])
+    assert bool(cv.apply(df).collect()[0]["valid"])
+
+
+def test_content_plan_is_jvm_only(spark):
+    """The content lowering must add zero Python stages (the §2.9 'done'
+    bar): no BatchEvalPython / ArrowEval in the physical plan."""
+    cv = ColumnarValidator(
+        {"$schema": D2019,
+         "properties": {"payload": {
+             "contentEncoding": "base64",
+             "contentMediaType": "application/json",
+             "contentSchema": CONTENT_SCHEMA}}})
+    df = spark.createDataFrame([(b64({"name": "web", "port": 80}),)],
+                               ["payload"])
+    plan = cv.apply(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
