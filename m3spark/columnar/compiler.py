@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from m3spark.schema.core import (
-    DRAFT3, DRAFT4, DRAFT7, D2019, _ge, draft_of, meta_validate_schema,
+    DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, _ge, draft_of,
+    meta_validate_schema,
 )
 from m3spark.schema.formats import (
     FORMATS, IPV6_PATTERN, SPARK_RLIKE, URI_BAD_PCT_PATTERN,
@@ -480,7 +481,9 @@ class ColumnarValidator:
             self._add(name, "enum", f"{sp}/enum",
                       f"value not in enum ({len(vals)} options)", "error",
                       build_enum)
-        if "const" in sub:
+        # const / contains joined the spec in draft-06: earlier drafts
+        # treat them as unknown annotations (interp keyword tables)
+        if "const" in sub and _ge(draft, DRAFT6):
             cv = sub["const"]
 
             def build_const(col, dt, _c=cv):
@@ -569,10 +572,12 @@ class ColumnarValidator:
         self._compile_struct_keywords(name, sub, sp)
         self._compile_map_keywords(name, sub, sp)
 
+        # the combinator family joined in draft-04 (draft-03 has only
+        # `extends`): interp keyword tables ignore them in d3
         for comb in ("allOf", "anyOf", "oneOf"):
-            if isinstance(sub.get(comb), list):
+            if isinstance(sub.get(comb), list) and _ge(draft, DRAFT4):
                 self._compile_combinator(name, comb, sub[comb], f"{sp}/{comb}")
-        if isinstance(sub.get("not"), dict):
+        if isinstance(sub.get("not"), dict) and _ge(draft, DRAFT4):
             inner = ColumnarValidator({"properties": {name: sub["not"]}},
                                       draft=self.draft,
                                       format_assertion=self.format_assertion,
@@ -879,7 +884,7 @@ class ColumnarValidator:
                               arr_guard(build_ai))
 
         contains = sub.get("contains")
-        if isinstance(contains, dict):
+        if isinstance(contains, dict) and _ge(self.draft, DRAFT6):
             builders = self._nested_builders(contains, f"{sp}/contains")
             min_c = sub.get("minContains", 1)
             max_c = sub.get("maxContains")
@@ -1039,6 +1044,24 @@ class ColumnarValidator:
                           build, doc_path=f"/{name}/{pname}")
 
     def _compile_combinator(self, name, comb, subs, sp):
+        if comb == "allOf":
+            # pure conjunction: flatten every branch's checks to
+            # first-class checks with their precise inner schema paths —
+            # the interpreter propagates inner violations verbatim
+            # (core.py c_all_of), and the flat form also keeps each
+            # predicate in the same codegen stage with no wrapper expr
+            for i, s in enumerate(subs):
+                inner = ColumnarValidator(
+                    {"properties": {name: s}}, draft=self.draft,
+                    format_assertion=self.format_assertion, strict=False)
+                self.unsupported.extend(inner.unsupported)
+                for c in inner.checks:
+                    self.checks.append(Check(
+                        c.column, c.keyword,
+                        c.schema_path.replace(f"/properties/{name}",
+                                              f"{sp}/{i}", 1),
+                        c.message, c.level, c.build, c.doc_path))
+            return
         groups = []
         for i, s in enumerate(subs):
             inner = ColumnarValidator({"properties": {name: s}},

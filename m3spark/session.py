@@ -48,7 +48,14 @@ def get_spark(app: str = "m3spark", cores: int | None = None,
             .master(f"local-cluster[{executors},{cores},{executor_mem_mb}]")
             .appName(app)
             .config("spark.submit.pyFiles", build_pyfiles())
-            .config("spark.executor.memory", f"{executor_mem_mb}m"))
+            .config("spark.executor.memory", f"{executor_mem_mb}m")
+            # size each executor JVM's internal pools (GC, JIT, common
+            # ForkJoin) for ITS core count, not the host's — E co-located
+            # executors otherwise each spawn host-width service threads
+            # and oversubscribe the box (real clusters set this via
+            # container CPU limits)
+            .config("spark.executor.extraJavaOptions",
+                    f"-XX:ActiveProcessorCount={cores}"))
     java_opts = os.environ.get("M3SPARK_JAVA_OPTS")
     if java_opts:
         # e.g. GC selection for oversubscribed-host experiments
