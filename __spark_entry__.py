@@ -231,38 +231,27 @@ def q_stats_events_daily(spark, sf_dir):
 
 def q_drift_events_psi(spark, sf_dir):
     """PSI of event_type mix between the two halves of the time range
-    — §2.10 drift detection, computed fully in DataFrame ops."""
+    — §2.10 drift detection, fully in DataFrame ops via the library
+    scale path (checks.drift.psi_split: one groupBy + broadcast
+    totals, no driver-side histogram)."""
+    from m3spark.checks.drift import psi_split
+
     ev = _t(spark, sf_dir, "events")
     half = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
-    counts = (ev.groupBy("event_type")
-                .agg(F.sum(half.cast("long")).alias("c_a"),
-                     F.sum((~half).cast("long")).alias("c_b")))
-    tot = counts.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
-    j = counts.crossJoin(tot)
-    p = F.col("c_a") / F.col("t_a")
-    q = F.col("c_b") / F.col("t_b")
-    term = (p - q) * F.log(p / q)
-    return j.agg(F.round(F.sum(term), 6).alias("psi"))
+    return psi_split(ev, "event_type", half).select(
+        F.round("psi", 6).alias("psi"))
 
 
 def q_drift_events_ks(spark, sf_dir):
     """Binned two-sample KS statistic on `value` between time halves
-    — §2.10: histogram in Spark, ECDF via window, max |diff|."""
-    from pyspark.sql import Window
+    — §2.10 via checks.drift.ks_split: histogram in Spark, ECDF via
+    window over the tiny bucket table, max |diff|."""
+    from m3spark.checks.drift import ks_split
 
     ev = _t(spark, sf_dir, "events")
     half = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
-    b = F.floor(F.col("value") / 25).alias("bucket")
-    h = (ev.groupBy(b)
-           .agg(F.sum(half.cast("long")).alias("c_a"),
-                F.sum((~half).cast("long")).alias("c_b")))
-    tot = h.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = (h.crossJoin(tot)
-             .withColumn("cum_a", F.sum("c_a").over(w) / F.col("t_a"))
-             .withColumn("cum_b", F.sum("c_b").over(w) / F.col("t_b")))
-    return ecdf.agg(F.round(F.max(F.abs(F.col("cum_a") - F.col("cum_b"))), 6)
-                    .alias("ks"))
+    return ks_split(ev, F.floor(F.col("value") / 25), half).select(
+        F.round("ks", 6).alias("ks"))
 
 
 def q_dedup_exact_documents(spark, sf_dir):
@@ -503,6 +492,51 @@ def q_val_content_documents(spark, sf_dir):
               .select("doc_id", "keyword", "schema_path", "level"))
 
 
+RECURSIVE_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$ref": "#/$defs/node",
+    "$defs": {"node": {
+        "type": "object",
+        "required": ["v"],
+        "properties": {
+            "v": {"type": "integer", "minimum": 0, "maximum": 100},
+            "child": {"$ref": "#/$defs/node"},
+        },
+    }},
+}
+
+
+def q_val_recursive_ref(spark, sf_dir):
+    """$ref recursion through the Arrow interpreter (§2.8), driver-
+    oracle-checked: each doc_id becomes a linked-list JSON document of
+    depth (doc_id %% 4) + 1 with node values (doc_id*7 + depth) %% 120,
+    validated against a self-referential #/$defs/node schema.  The
+    oracle re-derives every expected `maximum` violation — doc_id, the
+    /child/child/.../v JSON-pointer doc path, and the offending value —
+    from the same closed form, so a broken $ref resolution, a lost
+    recursion level, or a wrong pointer path all hash-mismatch."""
+    from m3spark.sparkval import validate_json, violation_rows
+
+    parts_by_depth = []
+    for d in range(1, 5):
+        parts = []
+        for k in range(d):
+            parts.append(F.lit('{"v": ' if k == 0
+                               else ', "child": {"v": '))
+            parts.append(((F.col("doc_id") * 7 + k) % 120).cast("string"))
+        parts.append(F.lit("}" * d))
+        parts_by_depth.append(F.concat(*parts))
+    dep = (F.col("doc_id") % 4 + 1).cast("int")
+    doc = parts_by_depth[0]
+    for d in range(2, 5):
+        doc = F.when(dep == d, parts_by_depth[d - 1]).otherwise(doc)
+    docs = _t(spark, sf_dir, "documents").select("doc_id",
+                                                 doc.alias("doc"))
+    out = validate_json(docs, RECURSIVE_SCHEMA, doc_col="doc")
+    return (violation_rows(out, key_col="doc_id")
+            .select("doc_id", "keyword", "doc_path", "value"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -617,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_events_props_struct": q_val_events_props_struct,
         "val_orders_conditional": q_val_orders_conditional,
         "val_content_documents": q_val_content_documents,
+        "val_recursive_ref": q_val_recursive_ref,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -753,6 +788,18 @@ def oracle_sql() -> dict[str, str]:
                      ELSE '' END AS schema_path,
                    'warning' AS level
             FROM b WHERE m IN (1, 2, 3, 4, 5, 6)
+        """,
+        # recursive-$ref battery: every expected violation re-derived
+        # from the closed form (depth = doc_id%4+1, node k value =
+        # (doc_id*7+k)%120, maximum 100)
+        "val_recursive_ref": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) + 1 AS dep
+                       FROM documents),
+            n AS (SELECT doc_id, UNNEST(range(0, dep)) AS k FROM d)
+            SELECT doc_id, 'maximum' AS keyword,
+                   repeat('/child', CAST(k AS INT)) || '/v' AS doc_path,
+                   CAST((doc_id * 7 + k) % 120 AS VARCHAR) AS value
+            FROM n WHERE (doc_id * 7 + k) % 120 > 100
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count

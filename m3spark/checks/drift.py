@@ -73,6 +73,95 @@ def ks_statistic(baseline: dict, current: dict) -> float:
     return worst
 
 
+# -- pure-DataFrame variants (the library scale path: no driver-side
+# histogram collect; everything stays in Spark until the single metric
+# row).  The driver-oracle queries delegate here. ---------------------------
+
+
+def psi_from_counts(counts: DataFrame, a: str = "c_a", b: str = "c_b",
+                    eps: float | None = None) -> DataFrame:
+    """PSI from a bucket-count table with current (``a``) and baseline
+    (``b``) count columns → one row (psi double).  ``eps`` clamps empty
+    buckets (needed when the two snapshots can have disjoint support);
+    None reproduces the exact unclamped sum."""
+    tot = counts.agg(F.sum(a).alias("t_a"), F.sum(b).alias("t_b"))
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col(a) / F.col("t_a")
+    q = F.col(b) / F.col("t_b")
+    if eps is not None:
+        p = F.greatest(p, F.lit(eps))
+        q = F.greatest(q, F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    return j.agg(F.sum(term).alias("psi"))
+
+
+def psi_split(df: DataFrame, group_col: str, split_pred) -> DataFrame:
+    """PSI of the ``group_col`` mix between the two sides of a boolean
+    Column predicate — one map-side-combinable groupBy, one broadcast of
+    the 2-value totals row, one tiny aggregate."""
+    counts = df.groupBy(group_col).agg(
+        F.sum(split_pred.cast("long")).alias("c_a"),
+        F.sum((~split_pred).cast("long")).alias("c_b"))
+    return psi_from_counts(counts)
+
+
+def ks_split(df: DataFrame, bucket_col, split_pred) -> DataFrame:
+    """Binned two-sample KS between the two sides of a predicate:
+    histogram in Spark, ECDFs via a window over the (tiny) bucket table,
+    max |difference| — one row (ks double)."""
+    from pyspark.sql import Window
+
+    h = (df.groupBy(bucket_col.alias("bucket"))
+           .agg(F.sum(split_pred.cast("long")).alias("c_a"),
+                F.sum((~split_pred).cast("long")).alias("c_b")))
+    tot = h.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = (h.crossJoin(F.broadcast(tot))
+             .withColumn("cum_a", F.sum("c_a").over(w) / F.col("t_a"))
+             .withColumn("cum_b", F.sum("c_b").over(w) / F.col("t_b")))
+    return ecdf.agg(F.max(F.abs(F.col("cum_a") - F.col("cum_b")))
+                    .alias("ks"))
+
+
+def psi_vs_baseline(bucket_df: DataFrame, baseline: dict,
+                    group_col: str = "window_start",
+                    eps: float = 1e-6) -> DataFrame:
+    """Per-group PSI of a (group, bucket, cnt) table against a fixed
+    baseline histogram {bucket -> count} — the read side of the
+    streaming drift operator (m3spark.streaming.streaming_drift_buckets)
+    and of any batch bucket table.  The baseline ships as a broadcast
+    literal; buckets missing on either side get ``eps`` mass, mirroring
+    :func:`psi`."""
+    spark = bucket_df.sparkSession
+    t_q = float(sum(baseline.values())) or 1.0
+    base = spark.createDataFrame(
+        [(int(k), float(v)) for k, v in baseline.items()],
+        "bucket int, qcnt double")
+    # grid columns renamed: `groups` derives from bucket_df, and a
+    # full-outer self-join on shared names hits conflicting-attribute
+    # resolution; the join condition is explicit instead
+    groups = (bucket_df.select(F.col(group_col).alias("_g"))
+                       .distinct())
+    grid = groups.crossJoin(base.withColumnRenamed("bucket", "_b"))
+    cur = (grid.join(bucket_df,
+                     (F.col("_g") == F.col(group_col))
+                     & (F.col("_b") == F.col("bucket")), "full_outer")
+               .select(F.coalesce(F.col("_g"), F.col(group_col))
+                        .alias("_grp"),
+                       F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                       F.coalesce("qcnt", F.lit(0.0)).alias("qcnt")))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("_grp")
+    p = F.greatest(F.col("cnt") / F.sum("cnt").over(tot), F.lit(eps))
+    q = F.greatest(F.col("qcnt") / F.lit(t_q), F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    return (cur.select("_grp", term.alias("term"))
+               .groupBy("_grp")
+               .agg(F.sum("term").alias("psi"))
+               .withColumnRenamed("_grp", group_col))
+
+
 def drift_report(df_baseline: DataFrame, df_current: DataFrame,
                  cat_cols: list[str] | None = None,
                  num_cols: list[tuple] | None = None) -> dict:

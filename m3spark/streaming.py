@@ -44,6 +44,36 @@ def validate_stream(pages_stream: DataFrame, schema: dict | None = None,
     return {"rows": rows, "verdicts": verdicts, "validator": cv}
 
 
+def streaming_drift_buckets(stream: DataFrame, value_expr: str,
+                            ts_col: str = "warc_ts",
+                            watermark: str = "1 hour",
+                            window: str = "1 day",
+                            slide: str | None = None,
+                            bins: int = 20, lo: float = 0.0,
+                            hi: float = 1.0) -> DataFrame:
+    """Streaming side of windowed distribution-drift detection: a
+    watermarked (sliding-)window histogram of ``value_expr`` — the ONLY
+    stateful piece drift needs on a stream.  Emits
+    (window_start, bucket, cnt) incrementally (update mode); feed the
+    sink table to :func:`m3spark.checks.drift.psi_vs_baseline` for
+    per-window PSI against a baseline snapshot.  State is one long per
+    (window, bucket): bounded by bins x active windows, independent of
+    row count — the same fixed-bucket design as the batch
+    numeric_histogram (no data-dependent quantiles, so stream and batch
+    bucket identically)."""
+    c = F.expr(value_expr)
+    b = F.width_bucket(c.cast("double"), F.lit(float(lo)),
+                       F.lit(float(hi)), F.lit(bins))
+    w = (F.window(F.col(ts_col), window, slide) if slide
+         else F.window(F.col(ts_col), window))
+    return (stream.where(c.isNotNull())
+                  .withWatermark(ts_col, watermark)
+                  .groupBy(w.alias("w"), b.alias("bucket"))
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .select(F.col("w.start").alias("window_start"),
+                          "bucket", "cnt"))
+
+
 def streaming_unique_violations(stream: DataFrame,
                                 key_col: str = "url") -> DataFrame:
     """Cross-micro-batch uniqueness — the streaming analog of

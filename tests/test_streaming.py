@@ -84,3 +84,42 @@ def test_streaming_stateful_uniqueness(tmp_path, spark):
                   .where("dup_count > 1").collect()}
     assert batch, "generator should plant duplicate urls"
     assert got == batch
+
+
+def test_streaming_windowed_psi_matches_batch(tmp_path, spark):
+    """Sliding-window drift on the stream: watermarked windowed
+    histogram (the stateful piece) + pure-DataFrame PSI vs a baseline
+    snapshot must equal, per window, the batch PSI computed with the
+    driver-side numeric_histogram + psi() pair over the same rows."""
+    from m3spark.checks.drift import numeric_histogram, psi, psi_vs_baseline
+    from m3spark.streaming import streaming_drift_buckets
+
+    src = str(tmp_path / "incoming4")
+    pages = generate_pages(spark, 6000).cache()
+    pages.repartition(6).write.mode("overwrite").parquet(src)
+    bins, lo, hi = 16, 0.0, 400.0
+    # baseline snapshot: the first crawl day's text-length histogram
+    first_day = pages.where(F.expr("to_date(warc_ts) = '2024-01-01'"))
+    baseline = numeric_histogram(first_day, "length(text)", bins, lo, hi)
+
+    stream = (spark.readStream.schema(pages.schema)
+                   .option("maxFilesPerTrigger", 2).parquet(src))
+    buckets = streaming_drift_buckets(stream, "length(text)",
+                                      ts_col="warc_ts", window="1 day",
+                                      bins=bins, lo=lo, hi=hi)
+    q = (buckets.writeStream.format("memory").queryName("stream_psi")
+                .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {str(r["window_start"])[:10]: r["psi"] for r in
+           psi_vs_baseline(spark.table("stream_psi"), baseline).collect()}
+
+    # batch ground truth per day through the DRIVER-SIDE path
+    days = [r[0] for r in pages.select(
+        F.expr("to_date(warc_ts)").alias("d")).distinct().collect()]
+    for d in days:
+        cur = numeric_histogram(
+            pages.where(F.expr(f"to_date(warc_ts) = '{d}'")),
+            "length(text)", bins, lo, hi)
+        assert abs(got[str(d)] - psi(baseline, cur)) < 1e-9, str(d)
+    assert len(got) == len(days)
+    pages.unpersist()
