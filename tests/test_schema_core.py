@@ -16,8 +16,9 @@ from m3spark.schema import compile_schema
 
 from corpus import CASES
 from corpus2 import CASES2
+from corpus3 import CASES3
 
-ALL_CASES = CASES + CASES2
+ALL_CASES = CASES + CASES2 + CASES3
 
 M3_TESTS_DIR = "/root/reference/test-resources/m3-tests"
 
