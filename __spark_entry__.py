@@ -354,12 +354,28 @@ def q_minhash_pairs_documents(spark, sf_dir):
     path.  hash_fn='portable' makes every signature value and band
     bucket reproducible in DuckDB, so the oracle mirrors the ENTIRE
     pipeline (shingle → 32 minhashes → 8 band buckets → bucket join →
-    signature-agreement score) value-by-value."""
+    signature-agreement score) value-by-value.  The md5 at its core is
+    the price of oracle exactness: the production variant is
+    q_minhash_pairs_fast (xxhash64, same plan shape, ~2x cheaper map
+    stage — the round-2 'minhash regression' was exactly this switch,
+    BENCH.md A/B)."""
     from m3spark.ops import minhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
                          hash_fn="portable")
+
+
+def q_minhash_pairs_fast(spark, sf_dir):
+    """Production MinHash+LSH: xxhash64 signatures (single JVM codegen
+    op per shingle-hash, no md5) — identical plan shape to the portable
+    twin; rows-only at the driver gate (xxhash64 has no DuckDB analog),
+    with the portable twin carrying the value-exact oracle."""
+    from m3spark.ops import minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_pairs(docs, "doc_id", "text", num_hashes=32, bands=8,
+                         hash_fn="xxhash64")
 
 
 def q_simhash_documents(spark, sf_dir):
@@ -670,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         # scale ops — oracle-checked via portable hash / planted truth
         "minhash_pairs_documents": q_minhash_pairs_documents,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
         "simhash_documents": q_simhash_documents,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "ann_ivf_fixed_embeddings": q_ann_ivf_fixed_embeddings,

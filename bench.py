@@ -97,10 +97,14 @@ def run_bench() -> dict:
         "stats_documents", "stats_events_daily",
         "drift_events_psi", "drift_events_ks",
         "dedup_exact_documents", "minhash_pairs_documents",
+        "minhash_pairs_fast",
         "simhash_documents", "sim_topk_embeddings",
         "text_tokens_documents", "text_quality_documents",
         "text_langid_documents", "fingerprint_documents",
-        "multimodal_features", "hll_stats_events",
+        "multimodal_features", "multimodal_image_headers",
+        "hll_stats_events",
+        "val_content_documents", "val_recursive_ref",
+        "dedup_embedding_lsh",
     ]
     for name in headline:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
@@ -429,6 +433,26 @@ attempts** recorded so far:
 Target >= 0.8 (north rule).  On a host with nonstationary steal the
 median across many windows is the headline; the quietest window bounds
 the engine's intrinsic scaling from below.
+
+## Round-2 bench regressions: attributed (r3 same-window A/B)
+
+Interleaved A/B of round-1 code vs current (fresh JVM per side, same
+window, 5 timed runs after warmup, sf0.1):
+
+- `minhash_pairs` +50% was NOT an engine regression: round 2 switched
+  the benched query from xxhash64 signatures to the md5-based portable
+  hash to gain a value-exact DuckDB oracle.  Both variants now ship:
+  `minhash_pairs_documents` (portable, oracle-checked) and
+  `minhash_pairs_fast` (xxhash64 production path, same plan shape) are
+  benched side by side, so the hash cost is visible and attributed.
+- `val_events_props` +36% was ~2/3 a real error-path regression from
+  round 2's violation-value stamping: every ANCESTOR node of an
+  offending property re-entered the stamping branch and json.dumps'd
+  the whole enclosing document.  Fixed (lazy stamping + direct
+  construction instead of dataclasses.replace): invalid-document
+  microbench 0.95s -> 0.75s per 50k; paired A/B residual vs round 1 is
+  ~+12%, the retained cost of the feature itself (violations carry the
+  offending value).
 
 ## Why executors of {cores_per} cores, {e_low} -> {e_high}
 

@@ -640,12 +640,21 @@ class CompiledSchema:
             if errs:
                 # stamp the offending instance value onto violations
                 # raised AT this node (deeper ones were stamped in their
-                # own run; error-only cost, nothing on the valid path)
-                import dataclasses
-                fv = _fmt_value(value)
-                errs = [dataclasses.replace(e, value=fv)
-                        if e.value is None and e.doc_path == path else e
-                        for e in errs]
+                # own run; error-only cost, nothing on the valid path).
+                # Lazily: ancestors of the offending node re-enter this
+                # branch with nothing left to stamp, and formatting the
+                # WHOLE enclosing document (json.dumps) there doubled
+                # the error path (BENCH r2->r3 A/B).  Direct
+                # construction, not dataclasses.replace, which
+                # re-introspects fields per call.
+                if any(e.value is None and e.doc_path == path
+                       for e in errs):
+                    fv = _fmt_value(value)
+                    errs = [Violation(e.keyword, e.schema_path,
+                                      e.doc_path, e.message, e.level, fv)
+                            if e.value is None and e.doc_path == path
+                            else e
+                            for e in errs]
             return errs, ann
 
         c.fn = run
