@@ -22,13 +22,15 @@ EXPECTED_SHUFFLES = {
     "uniqueness_documents", "ref_orders_without_lineitems",
     "ref_lineitem_orphans", "stats_documents", "stats_events_daily",
     "drift_events_psi", "drift_events_ks", "dedup_exact_documents",
-    "dedup_jaccard_documents", "dedup_embedding_pairs",
+    "dedup_jaccard_documents", "dedup_embedding_pairs_baseline",
     "sim_topk_embeddings", "minhash_pairs_documents",
+    "minhash_pairs_fast",
     "lsh_ann_embeddings", "ann_ivf_embeddings", "pages_validate",
-    "hll_stats_events",
+    "hll_stats_events", "dedup_embedding_lsh",
 }
 # queries that legitimately cross into Python (Arrow-batched)
-EXPECTED_PYTHON = {"val_events_props", "multimodal_features"}
+EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
+                   "multimodal_image_headers", "val_recursive_ref"}
 
 
 def audit():
