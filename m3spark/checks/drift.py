@@ -84,13 +84,23 @@ def psi_from_counts(counts: DataFrame, a: str = "c_a", b: str = "c_b",
     (``b``) count columns → one row (psi double).  ``eps`` clamps empty
     buckets (needed when the two snapshots can have disjoint support);
     None reproduces the exact unclamped sum."""
-    tot = counts.agg(F.sum(a).alias("t_a"), F.sum(b).alias("t_b"))
+    # greatest(total, 1) mirrors the driver-side psi()'s `or 1` clamp so
+    # an all-empty side yields a finite PSI, not NULL via 0-division
+    tot = counts.agg(F.greatest(F.sum(a), F.lit(1)).alias("t_a"),
+                     F.greatest(F.sum(b), F.lit(1)).alias("t_b"))
     j = counts.crossJoin(F.broadcast(tot))
     p = F.col(a) / F.col("t_a")
     q = F.col(b) / F.col("t_b")
     if eps is not None:
         p = F.greatest(p, F.lit(eps))
         q = F.greatest(q, F.lit(eps))
+    else:
+        # keep nonzero proportions exact (oracle-reproducible in plain
+        # SQL) but floor exact zeros at 1e-6, mirroring the driver-side
+        # psi()'s eps clamp — a one-sided bucket yields a large finite
+        # term instead of an ANSI divide-by-zero
+        p = F.when(p <= 0, F.lit(1e-6)).otherwise(p)
+        q = F.when(q <= 0, F.lit(1e-6)).otherwise(q)
     term = (p - q) * F.log(p / q)
     return j.agg(F.sum(term).alias("psi"))
 
@@ -114,7 +124,8 @@ def ks_split(df: DataFrame, bucket_col, split_pred) -> DataFrame:
     h = (df.groupBy(bucket_col.alias("bucket"))
            .agg(F.sum(split_pred.cast("long")).alias("c_a"),
                 F.sum((~split_pred).cast("long")).alias("c_b")))
-    tot = h.agg(F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b"))
+    tot = h.agg(F.greatest(F.sum("c_a"), F.lit(1)).alias("t_a"),
+                F.greatest(F.sum("c_b"), F.lit(1)).alias("t_b"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     ecdf = (h.crossJoin(F.broadcast(tot))
              .withColumn("cum_a", F.sum("c_a").over(w) / F.col("t_a"))

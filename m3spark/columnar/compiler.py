@@ -565,7 +565,8 @@ class ColumnarValidator:
                           _string_only(_format_pred(fmt)))
 
         if _ge(draft, DRAFT7) and ("contentEncoding" in sub
-                                   or "contentMediaType" in sub):
+                                   or "contentMediaType" in sub
+                                   or "contentSchema" in sub):
             self._compile_content(name, sub, sp, draft)
 
         self._compile_array_keywords(name, sub, sp)
@@ -606,7 +607,8 @@ class ColumnarValidator:
         csch = sub.get("contentSchema")
         level = "error" if draft == DRAFT7 else "warning"
         reg = ("contentEncoding" if "contentEncoding" in sub
-               else "contentMediaType")
+               else "contentMediaType" if "contentMediaType" in sub
+               else "contentSchema")
         csp = f"{sp}/{reg}"
         b64 = enc == "base64"
 
@@ -614,7 +616,12 @@ class ColumnarValidator:
             self._add(name, "contentEncoding", csp, "not valid base64",
                       level, _string_only(lambda col, dt: _b64_ok(col)))
 
-        if mt != "application/json":
+        # contentSchema without contentMediaType still assumes JSON
+        # content — reference property.cljc:796-801 (interp parity:
+        # core.py c_content / c_content_schema)
+        assume_json = (mt is None and isinstance(csch, (dict, bool))
+                       and _ge(draft, D2019))
+        if mt != "application/json" and not assume_json:
             return
 
         def dec(col):
@@ -626,9 +633,15 @@ class ColumnarValidator:
             # the interpreter returns early there (core.py c_content)
             return (~_b64_ok(col) | ok) if b64 else ok
 
-        self._add(name, "contentMediaType", csp,
-                  "content is not valid JSON", level,
-                  _string_only(json_ok))
+        if assume_json:
+            # decode failure is a contentSchema warning (interp parity)
+            self._add(name, "contentSchema", f"{sp}/contentSchema",
+                      "content is not valid JSON", "warning",
+                      _string_only(json_ok))
+        else:
+            self._add(name, "contentMediaType", csp,
+                      "content is not valid JSON", level,
+                      _string_only(json_ok))
 
         if isinstance(csch, (dict, bool)) and _ge(draft, D2019):
             for kw, spath, msg, inner in self._lower_content_schema(

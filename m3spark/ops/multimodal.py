@@ -64,6 +64,12 @@ def _parse_jpeg(raw: bytes):
     while i + 4 <= n:
         if raw[i] != 0xFF:
             return None, None, None
+        # ITU T.81 B.1.1.2: markers may be preceded by any number of
+        # 0xFF fill bytes — skip them before reading the marker byte.
+        while i + 1 < n and raw[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = raw[i + 1]
         if marker in _JPEG_SOF:
             if i + 10 > n:

@@ -130,10 +130,21 @@ def lsh_buckets_arrow(vec_col, dim: int, n_planes: int = 12,
     def bucketize(s: pd.Series) -> pd.Series:
         if len(s) == 0:
             return pd.Series([], dtype=object)
-        v = np.asarray([np.asarray(x, dtype="float64") for x in s])
+        # Null / wrong-length vectors must not fail the batch (a single
+        # bad row would otherwise make the stacked array ragged and kill
+        # the whole stage): mask them out of the matmul and emit null
+        # bucket arrays, mirroring the JVM path where a null vector
+        # yields null dot products.
+        good = s.map(lambda x: x is not None and len(x) == dim)
+        if not good.any():
+            return pd.Series([None] * len(s), dtype=object)
+        v = np.asarray([np.asarray(x, dtype="float64")
+                        for x in s[good.values]])
         signs = (v @ P) > 0
-        b = signs.reshape(len(s), n_tables, n_planes).astype("int64")
-        return pd.Series(list((b @ weights)))
+        b = signs.reshape(len(v), n_tables, n_planes).astype("int64")
+        out = pd.Series([None] * len(s), dtype=object)
+        out.iloc[np.flatnonzero(good.values)] = list(b @ weights)
+        return out
 
     return bucketize(vec_col)
 

@@ -1593,7 +1593,10 @@ def c_content(cs, node, v, draft, sp, base):
             except (binascii.Error, UnicodeDecodeError, ValueError):
                 return _err("contentEncoding", sp, p,
                             "not valid base64", level)
-        if mt == "application/json":
+        # No contentMediaType + a contentSchema => assume JSON content,
+        # matching the reference (property.cljc:796-801); a decode
+        # failure there is a contentSchema validation failure.
+        if mt == "application/json" or (mt is None and sub is not None):
             try:
                 # strict: Python's default parse accepts NaN/Infinity,
                 # which neither RFC 8259, the reference's JSON parser,
@@ -1603,6 +1606,9 @@ def c_content(cs, node, v, draft, sp, base):
                     parse_constant=lambda c: (_ for _ in ()).throw(
                         ValueError(f"non-JSON constant {c}")))
             except ValueError:
+                if mt is None:
+                    return _err("contentSchema", sp, p,
+                                "content is not valid JSON", "warning")
                 return _err("contentMediaType", sp, p,
                             "content is not valid JSON", level)
             if sub is not None:
@@ -1620,6 +1626,16 @@ def c_content_media_type(cs, node, v, draft, sp, base):
     keys off either keyword."""
     if "contentEncoding" in node:
         return None  # c_content (keyed on contentEncoding) covers both
+    return c_content(cs, node, v, draft, sp, base)
+
+
+def c_content_schema(cs, node, v, draft, sp, base):
+    """contentSchema ALONE (no contentEncoding/contentMediaType) still
+    validates, assuming JSON content — reference
+    property.cljc:788-801 (make-check-property-contentSchema decodes
+    m1 as JSON when cmt is nil)."""
+    if "contentEncoding" in node or "contentMediaType" in node:
+        return None  # covered by the handlers keyed on those
     return c_content(cs, node, v, draft, sp, base)
 
 
@@ -1694,6 +1710,7 @@ _D7 = dict(_D6, **{
 })
 
 _D2019K = dict(_D7, **{
+    "contentSchema": c_content_schema,
     "dependentRequired": c_dependent_required,
     "dependentSchemas": c_dependent_schemas,
     "unevaluatedProperties": c_unevaluated_properties,
@@ -1747,7 +1764,7 @@ _KEYWORD_ORDER = [
     "minItems", "maxItems", "uniqueItems",
     "properties", "patternProperties", "additionalProperties",
     "propertyNames",
-    "contentEncoding", "contentMediaType",
+    "contentEncoding", "contentMediaType", "contentSchema",
     "deprecated", "$comment",
     "unevaluatedItems", "unevaluatedProperties",
 ]

@@ -199,3 +199,56 @@ def test_content_plan_is_jvm_only(spark):
                                ["payload"])
     plan = cv.apply(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+@pytest.mark.parametrize("with_enc", [False, True])
+def test_content_schema_without_media_type(spark, with_enc):
+    """contentSchema with NO contentMediaType still validates, assuming
+    JSON content (reference property.cljc:796-801: nil cmt =>
+    json-decode); decode failure is a contentSchema warning.  Parity
+    between both engines, with and without contentEncoding."""
+    sub = {"contentSchema": {"type": "object",
+                             "required": ["name"],
+                             "properties": {"name": {"type": "string"}}}}
+    if with_enc:
+        sub["contentEncoding"] = "base64"
+
+    def enc(s):
+        return b64(s) if with_enc else s
+
+    payloads = [
+        (enc('{"name": "web"}'), True, []),
+        (enc('{"name": 7}'), True, ["type"]),        # warning only
+        (enc('{"port": 80}'), True, ["required"]),
+        (enc('not json {{{'), True, ["contentSchema"]),
+    ]
+    schema = {"$schema": D2019, "properties": {"payload": sub}}
+    cv = ColumnarValidator(schema)
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _, _) in enumerate(payloads)],
+        T.StructType([T.StructField("i", T.IntegerType()),
+                      T.StructField("payload", T.StringType())]))
+    rows = {r["i"]: r for r in cv.apply(df).collect()}
+    cs = compile_schema(schema)
+    for i, (p, exp_valid, exp_kws) in enumerate(payloads):
+        r = rows[i]
+        got = sorted(v["keyword"] for v in r["violations"])
+        assert bool(r["valid"]) is exp_valid, (p, r)
+        assert got == sorted(exp_kws), (p, got, exp_kws)
+        assert all(v["level"] == "warning" for v in r["violations"])
+        # interp parity
+        res = cs.validate({"payload": p})
+        ikws = sorted(v.keyword for v in res.errors + res.warnings)
+        assert res.valid is exp_valid and ikws == got, (p, ikws, got)
+
+
+def test_content_schema_alone_ignored_in_d7(spark):
+    """draft-07 predates contentSchema: alone it is an unknown
+    annotation in both engines."""
+    schema = {"$schema": D7,
+              "properties": {"payload": {"contentSchema":
+                                         {"type": "object"}}}}
+    cv = ColumnarValidator(schema)
+    df = spark.createDataFrame([("nope",)], ["payload"])
+    assert bool(cv.apply(df).collect()[0]["valid"])
+    assert compile_schema(schema).validate({"payload": "nope"}).valid

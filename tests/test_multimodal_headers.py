@@ -112,3 +112,23 @@ def test_octet_stream_fallback():
     assert d["media_type"] == "application/octet-stream"
     assert d["width"] is None and d["channels"] is None
     assert d["n_bytes"] == 11
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; the walk must skip them, not read a bogus segment length."""
+    d = _decode_payload(jpeg(320, 240, 3, pre_segments=b"\xff\xff\xff"))
+    assert (d["width"], d["height"], d["channels"]) == (320, 240, 3)
+    # fill bytes directly before the SOF marker itself
+    raw = jpeg(64, 32, 1)
+    sof_at = raw.index(b"\xff\xc0")
+    padded = raw[:sof_at] + b"\xff\xff" + raw[sof_at:]
+    d = _decode_payload(padded)
+    assert (d["width"], d["height"], d["channels"]) == (64, 32, 1)
+
+
+def test_jpeg_fill_bytes_inside_segment_chain():
+    """Fill bytes between an APP segment and the SOF marker."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+    d = _decode_payload(jpeg(10, 20, 3, pre_segments=app0 + b"\xff" * 5))
+    assert (d["width"], d["height"]) == (10, 20)

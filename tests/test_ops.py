@@ -173,3 +173,41 @@ def test_multimodal_decode(spark):
     assert out[4]["media_type"] is None
     assert abs(out[3]["feature_mean"]
                - sum(b"plain bytes") / 11) < 1e-6
+
+
+def test_lsh_arrow_null_and_ragged_vectors_survive(spark):
+    """A NULL or wrong-length embedding must not fail the Arrow hashing
+    stage (ADVICE r3): bad rows get null buckets and simply produce no
+    candidates; good rows still pair up."""
+    base = [1.0 if i % 7 == 0 else 0.1 * ((i % 5) - 2) for i in range(16)]
+    near = list(base)
+    near[3] += 0.01
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, None), (3, [1.0, 2.0])],
+        "vec_id int, v array<double>")
+    pairs = lsh_ann_pairs(df, "v", 16, n_planes=8, min_cosine=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p and 3 not in p for p in got)
+
+
+def test_lsh_arrow_all_null_batch(spark):
+    from m3spark.ops.similarity import lsh_candidates
+
+    df = spark.createDataFrame([(0, None), (1, None)],
+                               "vec_id int, v array<double>")
+    assert lsh_candidates(df, "v", 16, n_planes=4).count() == 0
+
+
+def test_psi_split_empty_side_is_finite(spark):
+    """An all-one-side split must yield a finite PSI (clamped totals),
+    mirroring the driver-side psi()'s `or 1` guard (ADVICE r3)."""
+    from m3spark.checks.drift import ks_split, psi_split
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, "en") for i in range(10)],
+                               "id int, lang string")
+    r = psi_split(df, "lang", F.lit(True)).collect()[0]
+    assert r["psi"] is not None
+    k = ks_split(df, F.col("id") % 3, F.lit(True)).collect()[0]
+    assert k["ks"] is not None
