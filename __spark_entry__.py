@@ -69,17 +69,25 @@ CONTENT_SCHEMA = {
                     "name": {"type": "string", "minLength": 2},
                     "port": {"type": "integer", "minimum": 1,
                              "maximum": 65535},
+                    # one level DEEPER (r4): nested object via variant
+                    # paths + array elements via array<variant> forall
+                    "cfg": {"type": "object",
+                            "properties": {"retries": {"type": "integer",
+                                                       "minimum": 0}}},
+                    "tags": {"items": {"type": "string",
+                                       "minLength": 2}},
                 },
             },
         },
     },
 }
 
-# deterministic base64-JSON payload battery keyed on doc_id % 8:
+# deterministic base64-JSON payload battery keyed on doc_id % 12:
 # 0/7 valid, 1 minLength, 2 minimum, 3 maximum, 4 required,
-# 5 invalid JSON, 6 invalid base64
+# 5 invalid JSON, 6 invalid base64, 8 deep-valid, 9 nested minimum,
+# 10 array-element minLength, 11 nested type
 CONTENT_PAYLOAD_SQL = """
-CASE CAST(doc_id % 8 AS INT)
+CASE CAST(doc_id % 12 AS INT)
 WHEN 0 THEN base64(encode(to_json(named_struct(
             'name', 'web', 'port', 80)), 'UTF-8'))
 WHEN 1 THEN base64(encode(to_json(named_struct(
@@ -91,8 +99,20 @@ WHEN 3 THEN base64(encode(to_json(named_struct(
 WHEN 4 THEN base64(encode(to_json(named_struct('name', 'web')), 'UTF-8'))
 WHEN 5 THEN base64(encode('not json {', 'UTF-8'))
 WHEN 6 THEN '!!!not base64!!!'
+WHEN 8 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80,
+            'cfg', named_struct('retries', 3))), 'UTF-8'))
+WHEN 9 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80,
+            'cfg', named_struct('retries', -1))), 'UTF-8'))
+WHEN 10 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80,
+            'tags', array('ok', 'x'))), 'UTF-8'))
+WHEN 11 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80, 'cfg', 5)), 'UTF-8'))
 ELSE base64(encode(to_json(named_struct(
-            'name', 'db', 'port', 5432)), 'UTF-8'))
+            'name', 'db', 'port', 5432,
+            'tags', array('aa', 'bb'))), 'UTF-8'))
 END"""
 
 
@@ -171,6 +191,38 @@ def q_val_orders_conditional(spark, sf_dir):
         "dependentRequired": {"o_orderpriority": ["o_custkey"]},
     }, format_assertion=True)
     return cv.apply(orders).select("o_orderkey", "valid")
+
+
+def q_val_unevaluated_events(spark, sf_dir):
+    """unevaluatedProperties lowered to pure-JVM columnar (SURVEY §7
+    hard-part 1: static key-set algebra, branch claims gated on branch
+    success — compiler.py _object_claims / _claimed_field; reference
+    semantics property.cljc:268-293, 1083-1095).  A struct assembled
+    from the event row: `k` is claimed by adjacent properties, `tag`
+    only when the anyOf tag-branch succeeds, `extra` never — so rows
+    with a non-matching tag or a non-null extra fail uP: false."""
+    from m3spark.columnar import ColumnarValidator
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("tag"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("x"))
+             .otherwise(F.lit(None).cast("string")).alias("extra"),
+        ).alias("obj"))
+    cv = ColumnarValidator({
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "properties": {"obj": {
+            "anyOf": [
+                {"properties": {"k": {"maximum": 49}}, "required": ["k"]},
+                {"properties": {"tag": {"pattern": "^(click|view)$"}},
+                 "required": ["tag"]},
+            ],
+            "properties": {"k": {"type": "integer"}},
+            "unevaluatedProperties": False,
+        }}}, format_assertion=True)
+    return cv.apply(ev).select("event_id", "valid")
 
 
 def q_uniqueness_documents(spark, sf_dir):
@@ -666,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_events_props": q_val_events_props,
         "val_events_props_struct": q_val_events_props_struct,
         "val_orders_conditional": q_val_orders_conditional,
+        "val_unevaluated_events": q_val_unevaluated_events,
         "val_content_documents": q_val_content_documents,
         "val_recursive_ref": q_val_recursive_ref,
         "uniqueness_documents": q_uniqueness_documents,
@@ -771,6 +824,23 @@ def oracle_sql() -> dict[str, str]:
                            AS k
                   FROM events)
         """,
+        "val_unevaluated_events": """
+            SELECT event_id,
+                   (b1 OR b2)                 -- anyOf
+                   AND (tag IS NULL OR b2)    -- tag claimed only by b2
+                   AND extra IS NULL          -- extra never claimed
+                     AS valid
+            FROM (SELECT event_id,
+                         TRY_CAST(json_extract_string(props, '$.k')
+                                  AS INT) AS k,
+                         event_type AS tag,
+                         CASE WHEN event_id % 7 = 0 THEN 'x' END AS extra,
+                         COALESCE(TRY_CAST(json_extract_string(props,
+                                  '$.k') AS INT) <= 49, FALSE) AS b1,
+                         COALESCE(regexp_matches(event_type,
+                                  '^(click|view)$'), FALSE) AS b2
+                  FROM events)
+        """,
         "val_orders_conditional": """
             SELECT o_orderkey,
                    (CASE WHEN o_orderstatus = 'F'
@@ -786,13 +856,16 @@ def oracle_sql() -> dict[str, str]:
         # failure suppresses downstream checks; checker registered under
         # contentEncoding so every schema path hangs off it)
         "val_content_documents": """
-            WITH b AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS m
+            WITH b AS (SELECT doc_id, CAST(doc_id % 12 AS INT) AS m
                        FROM documents)
             SELECT doc_id,
                    CASE m WHEN 1 THEN 'minLength' WHEN 2 THEN 'minimum'
                           WHEN 3 THEN 'maximum' WHEN 4 THEN 'required'
                           WHEN 5 THEN 'contentMediaType'
-                          ELSE 'contentEncoding' END AS keyword,
+                          WHEN 6 THEN 'contentEncoding'
+                          WHEN 9 THEN 'minimum'
+                          WHEN 10 THEN 'minLength'
+                          ELSE 'type' END AS keyword,
                    '/properties/payload/contentEncoding' ||
                    CASE m
                      WHEN 1 THEN
@@ -802,9 +875,14 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 3 THEN
                        '/contentSchema/properties/port/maximum'
                      WHEN 4 THEN '/contentSchema/required'
+                     WHEN 9 THEN '/contentSchema/properties/cfg' ||
+                       '/properties/retries/minimum'
+                     WHEN 10 THEN
+                       '/contentSchema/properties/tags/items/minLength'
+                     WHEN 11 THEN '/contentSchema/properties/cfg/type'
                      ELSE '' END AS schema_path,
                    'warning' AS level
-            FROM b WHERE m IN (1, 2, 3, 4, 5, 6)
+            FROM b WHERE m IN (1, 2, 3, 4, 5, 6, 9, 10, 11)
         """,
         # recursive-$ref battery: every expected violation re-derived
         # from the closed form (depth = doc_id%4+1, node k value =

@@ -309,12 +309,13 @@ class ColumnarValidator:
         "title", "description", "default", "examples", "$comment",
         "deprecated", "readOnly", "writeOnly",
         "contentEncoding", "contentMediaType", "contentSchema",
+        "unevaluatedProperties", "unevaluatedItems",
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
         "required", "additionalProperties", "title", "description",
         "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-        "dependentRequired",
+        "dependentRequired", "unevaluatedProperties",
     }
 
     _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
@@ -397,14 +398,123 @@ class ColumnarValidator:
                 self._row_check(
                     "dependentRequired", f"{sp}/dependentRequired/{key}",
                     f"property {key!r} requires {list(needs)!r}", build_dep)
+        if _ge(self.draft, D2019):
+            self._compile_root_unevaluated(schema, sp)
+
+    def _root_claims(self, frag, sp, top=False):
+        """Claim structure for a ROOT-level (flat-table) fragment: the
+        columns are the object keys; branch preds are row-preds
+        fn(dtypes) -> Column.  Mirrors _object_claims plus root
+        if/then/else (claims from a successful `if` and its taken,
+        successful arm — mini-model semantics)."""
+        if not isinstance(frag, dict):
+            return {"names": (), "patterns": (), "all_keys": False,
+                    "branches": ()}
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
+                  and not (top and k.startswith("unevaluated"))]
+        if unsafe:
+            self.unsupported.append(
+                f"{sp} (unevaluated* claim algebra cannot model "
+                f"{sorted(set(unsafe))})")
+            return {"names": (), "patterns": (), "all_keys": False,
+                    "branches": ()}
+        props = frag.get("properties")
+        names = tuple(props) if isinstance(props, dict) else ()
+        branches = []
+        for comb in ("allOf", "anyOf", "oneOf"):
+            brs = frag.get(comb)
+            if not isinstance(brs, list):
+                continue
+            preds = [self._row_pred(b, f"{sp}/{comb}/{i}",
+                                    errors_only=True)
+                     if isinstance(b, (dict, bool)) else None
+                     for i, b in enumerate(brs)]
+            gate = (self._one_of_row_gate(preds) if comb == "oneOf"
+                    else None)
+            for i, b in enumerate(brs):
+                bsp = f"{sp}/{comb}/{i}"
+                if b is True or b == {} or b is False \
+                        or not isinstance(b, dict):
+                    continue
+                pred = preds[i]
+                if gate is not None:
+                    pred = (lambda dtypes, _p=preds[i], _g=gate:
+                            _g(dtypes) & _p(dtypes))
+                branches.append((pred, self._root_claims(b, bsp)))
+        if isinstance(frag.get("if"), (dict, bool)):
+            if_p = self._row_pred(frag["if"], f"{sp}/if",
+                                  errors_only=True)
+            branches.append((if_p, self._root_claims(frag["if"],
+                                                     f"{sp}/if")))
+            for arm, taken in (("then", True), ("else", False)):
+                a = frag.get(arm)
+                if not isinstance(a, (dict, bool)) \
+                        or not isinstance(a, dict):
+                    continue
+                arm_p = self._row_pred(a, f"{sp}/{arm}",
+                                       errors_only=True)
+
+                def gated(dtypes, _i=if_p, _a=arm_p, _t=taken):
+                    cond = _i(dtypes).eqNullSafe(True)
+                    return (cond if _t else ~cond) \
+                        & _a(dtypes).eqNullSafe(True)
+
+                branches.append((gated,
+                                 self._root_claims(a, f"{sp}/{arm}")))
+        return {"names": names, "patterns": self._claim_patterns(frag),
+                "all_keys": "additionalProperties" in frag,
+                "branches": tuple(branches)}
+
+    def _root_claimed(self, claims, cname, dtypes):
+        if claims["all_keys"] or cname in claims["names"] or any(
+                rx.search(cname) for _, rx in claims["patterns"]):
+            return F.lit(True)
+        acc = F.lit(False)
+        for pred, sub in claims["branches"]:
+            acc = acc | (pred(dtypes).eqNullSafe(True)
+                         & self._root_claimed(sub, cname, dtypes))
+        return acc
+
+    def _compile_root_unevaluated(self, schema, sp):
+        """Root unevaluatedProperties over the FLAT table: the static
+        column-set algebra — every column whose name no successful
+        schema branch claims must be NULL (missing) or satisfy the
+        unevaluatedProperties schema."""
+        up = schema.get("unevaluatedProperties")
+        if up is None or up is True or up == {}:
+            return
+        if "additionalProperties" in schema:
+            return
+        claims = self._root_claims(schema, sp, top=True)
+        usp = f"{sp}/unevaluatedProperties"
+        ub = None if up is False else (
+            self._error_builders(up, usp) if isinstance(up, dict) else None)
+        if up is not False and ub is None:
+            return
+
+        def build(_col, dtypes, _c=claims, _b=ub):
+            oks = []
+            for cname, cdt in dtypes.items():
+                v = F.col(cname)
+                ok = v.isNull() | self._root_claimed(_c, cname, dtypes)
+                if _b is not None:
+                    ok = ok | _reduce_and(
+                        [bb(v, cdt).eqNullSafe(True) for bb in _b])
+                oks.append(ok)
+            return _reduce_and(oks)
+
+        self._row_check("unevaluatedProperties", usp,
+                        "column not evaluated by any schema", build)
 
     def _row_check(self, keyword, sp, msg, build):
         self.checks.append(Check(self._ROW_CHECK, keyword, sp, msg,
                                  "error", build, doc_path=""))
 
-    def _row_pred(self, fragment, sp):
+    def _row_pred(self, fragment, sp, errors_only=False):
         """Compile an object-schema fragment into a row-level predicate
-        fn(dtypes) -> Column (True = row satisfies the fragment)."""
+        fn(dtypes) -> Column (True = row satisfies the fragment).
+        ``errors_only`` skips warning-level checks (branch-success
+        semantics: warnings never fail an in-place applicator)."""
         if fragment is True or fragment == {}:
             return lambda dtypes: F.lit(True)
         if fragment is False:
@@ -413,7 +523,8 @@ class ColumnarValidator:
                                   format_assertion=self.format_assertion,
                                   strict=False)
         self.unsupported.extend(f"{sp}{u}" for u in inner.unsupported)
-        checks = inner.checks
+        checks = [c for c in inner.checks
+                  if not errors_only or c.level == "error"]
 
         def pred(dtypes):
             parts = []
@@ -572,6 +683,9 @@ class ColumnarValidator:
         self._compile_array_keywords(name, sub, sp)
         self._compile_struct_keywords(name, sub, sp)
         self._compile_map_keywords(name, sub, sp)
+        if _ge(draft, D2019):
+            self._compile_unevaluated_props(name, sub, sp)
+            self._compile_unevaluated_items(name, sub, sp)
 
         # the combinator family joined in draft-04 (draft-03 has only
         # `extends`): interp keyword tables ignore them in d3
@@ -659,43 +773,18 @@ class ColumnarValidator:
 
     _CONTENT_SCALARS = {"type", "minLength", "maxLength", "pattern",
                         "minimum", "maximum", "const", "enum"}
+    _CONTENT_KEYWORDS = _CONTENT_SCALARS | {
+        "properties", "required", "items", "minItems", "maxItems"}
 
     def _lower_content_schema(self, csch, sp: str) -> list:
         """Lower a contentSchema fragment to predicates over a VARIANT
-        column (the try_parse_json of the decoded content).  Supported
-        subset: root type/required + scalar-keyword properties; anything
-        deeper routes the schema to the interpreter via
-        UnsupportedKeyword (the compiler's standing escape hatch)."""
-        if csch is True or csch == {}:
-            return []
-        if csch is False:
-            return [("false", sp, "schema is false: nothing is valid",
-                     lambda v: F.lit(False))]
-        out = []
-        for k in csch:
-            if k not in ("type", "required", "properties"):
-                self.unsupported.append(f"{sp}/{k} (contentSchema subset)")
-        t = csch.get("type")
-        if isinstance(t, str):
-            out.append(("type", f"{sp}/type", f"expected type {t}",
-                        lambda v, _t=t: _variant_type_ok(v, _t)))
-        req = csch.get("required")
-        if isinstance(req, list):
-            for k in req:
-                self._check_variant_key(k, sp)
-                out.append((
-                    "required", f"{sp}/required",
-                    f"required property {k!r} missing",
-                    # required binds only on objects (presence semantics)
-                    lambda v, _k=k: ~_variant_is(v, "OBJECT")
-                    | _variant_field(v, _k).isNotNull()))
-        props = csch.get("properties")
-        if isinstance(props, dict):
-            for pk, psub in props.items():
-                self._check_variant_key(pk, sp)
-                out.extend(self._lower_content_property(
-                    pk, psub, f"{sp}/properties/{pk}"))
-        return out
+        column (the try_parse_json of the decoded content) — RECURSIVE
+        over nested objects (``$.a.b`` paths) and arrays (cast to
+        ``array<variant>`` + forall), so realistic contentSchemas stay
+        0-Python at any depth.  Keywords outside the supported subset
+        route the schema to the interpreter via UnsupportedKeyword (the
+        compiler's standing escape hatch)."""
+        return self._variant_preds(csch, sp)
 
     def _check_variant_key(self, k, sp):
         if not isinstance(k, str) or not k.isidentifier():
@@ -703,38 +792,37 @@ class ColumnarValidator:
                 f"{sp} (contentSchema key {k!r} needs JSON-pointer "
                 f"escaping in a variant path)")
 
-    def _lower_content_property(self, pk: str, psub, sp: str) -> list:
-        if psub is True or psub == {}:
+    def _variant_preds(self, frag, sp: str) -> list:
+        """(keyword, schema_path, message, fn(variant) -> ok) entries
+        for a contentSchema fragment applied to a VARIANT value."""
+        if frag is True or frag == {}:
             return []
-        if not isinstance(psub, dict):
+        if frag is False:
+            return [("false", sp, "schema is false: nothing is valid",
+                     lambda v: F.lit(False))]
+        if not isinstance(frag, dict):
             return []
-        for k in psub:
-            if k not in self._CONTENT_SCALARS:
-                self.unsupported.append(f"{sp}/{k} (contentSchema subset)")
         out = []
-
-        def field_gate(v):
-            # missing property (or non-object parent) passes every check
-            return _variant_field(v, pk).isNull()
-
-        t = psub.get("type")
+        for k in frag:
+            if k not in self._CONTENT_KEYWORDS:
+                self.unsupported.append(f"{sp}/{k} (contentSchema subset)")
+        t = frag.get("type")
         if isinstance(t, str):
             out.append(("type", f"{sp}/type", f"expected type {t}",
-                        lambda v, _t=t: field_gate(v)
-                        | _variant_type_ok(_variant_field(v, pk), _t)))
+                        lambda v, _t=t: _variant_type_ok(v, _t)))
         for kw, keep in (("minLength", lambda s, n: F.length(s) >= n),
                          ("maxLength", lambda s, n: F.length(s) <= n)):
-            if isinstance(psub.get(kw), int):
-                n = psub[kw]
+            if isinstance(frag.get(kw), int):
+                n = frag[kw]
                 out.append((
                     kw, f"{sp}/{kw}",
                     f"string {'shorter' if kw == 'minLength' else 'longer'}"
                     f" than {n}",
-                    lambda v, _n=n, _keep=keep: field_gate(v)
-                    | ~_variant_is(_variant_field(v, pk), "STRING")
-                    | _keep(_variant_str(v, pk), _n)))
-        if isinstance(psub.get("pattern"), str):
-            pat = psub["pattern"]
+                    lambda v, _n=n, _keep=keep:
+                    ~_variant_is(v, "STRING")
+                    | _keep(_variant_cast(v, "string"), _n)))
+        if isinstance(frag.get("pattern"), str):
+            pat = frag["pattern"]
             pred = _pattern_pred(pat, self._force_py)
             if not getattr(pred, "_jvm", True):
                 self.unsupported.append(
@@ -744,22 +832,20 @@ class ColumnarValidator:
                 out.append((
                     "pattern", f"{sp}/pattern",
                     f"string does not match {pat!r}",
-                    lambda v, _p=pred: field_gate(v)
-                    | ~_variant_is(_variant_field(v, pk), "STRING")
-                    | _p(_variant_str(v, pk), T.StringType())))
+                    lambda v, _p=pred: ~_variant_is(v, "STRING")
+                    | _p(_variant_cast(v, "string"), T.StringType())))
         for kw, op in (("minimum", ">="), ("maximum", "<=")):
-            b = psub.get(kw)
+            b = frag.get(kw)
             if isinstance(b, (int, float)) and not isinstance(b, bool):
                 out.append((
                     kw, f"{sp}/{kw}", f"value is not {op} {b}",
-                    lambda v, _b=b, _op=op: field_gate(v)
-                    | ~_variant_is_number(_variant_field(v, pk))
-                    | (_variant_num(v, pk) >= _b if _op == ">="
-                       else _variant_num(v, pk) <= _b)))
-        if "const" in psub or isinstance(psub.get("enum"), list):
-            vals = ([psub["const"]] if "const" in psub
-                    else list(psub["enum"]))
-            kw = "const" if "const" in psub else "enum"
+                    lambda v, _b=b, _op=op: ~_variant_is_number(v)
+                    | (_variant_cast(v, "double") >= _b if _op == ">="
+                       else _variant_cast(v, "double") <= _b)))
+        if "const" in frag or isinstance(frag.get("enum"), list):
+            vals = ([frag["const"]] if "const" in frag
+                    else list(frag["enum"]))
+            kw = "const" if "const" in frag else "enum"
             if not all(isinstance(x, (str, int, float, bool))
                        or x is None for x in vals):
                 self.unsupported.append(
@@ -769,8 +855,42 @@ class ColumnarValidator:
                     kw, f"{sp}/{kw}",
                     ("value does not equal const" if kw == "const"
                      else f"value not in enum ({len(vals)} options)"),
-                    lambda v, _vals=tuple(vals): field_gate(v)
-                    | _variant_scalar_in(v, pk, _vals)))
+                    lambda v, _vals=tuple(vals):
+                    _variant_elem_in(v, _vals)))
+        req = frag.get("required")
+        if isinstance(req, list):
+            for k in req:
+                self._check_variant_key(k, sp)
+                out.append((
+                    "required", f"{sp}/required",
+                    f"required property {k!r} missing",
+                    # required binds only on objects (presence semantics)
+                    lambda v, _k=k: ~_variant_is(v, "OBJECT")
+                    | F.try_variant_get(v, f"$.{_k}", "variant")
+                       .isNotNull()))
+        props = frag.get("properties")
+        if isinstance(props, dict):
+            for pk, psub in props.items():
+                self._check_variant_key(pk, sp)
+                for kw, spath, msg, p in self._variant_preds(
+                        psub, f"{sp}/properties/{pk}"):
+                    # missing field (or non-object parent) passes
+                    out.append((kw, spath, msg, _field_lift(pk, p)))
+        items = frag.get("items")
+        if isinstance(items, (dict, bool)):
+            for kw, spath, msg, p in self._variant_preds(
+                    items, f"{sp}/items"):
+                out.append((kw, spath, msg, _items_lift(p)))
+        for kw, op in (("minItems", ">="), ("maxItems", "<=")):
+            n = frag.get(kw)
+            if isinstance(n, int) and not isinstance(n, bool):
+                out.append((
+                    kw, f"{sp}/{kw}",
+                    f"{'fewer' if kw == 'minItems' else 'more'} than {n} "
+                    f"items",
+                    lambda v, _n=n, _op=op: _variant_arr(v).isNull()
+                    | (F.size(_variant_arr(v)) >= _n if _op == ">="
+                       else F.size(_variant_arr(v)) <= _n)))
         return out
 
     def _nested_builders(self, frag, sp) -> list:
@@ -1056,6 +1176,416 @@ class ColumnarValidator:
                           f"property {pname!r} violates its schema", "error",
                           build, doc_path=f"/{name}/{pname}")
 
+        # patternProperties / additionalProperties over STRUCT columns:
+        # field names are static, so pattern matching happens at compile
+        # time with the engine's own ECMA matcher (the map-typed path in
+        # _compile_map_keywords does the same dynamically via rlike)
+        import re as _re
+
+        from m3spark.schema.core import compile_ecma_pattern
+
+        pp = sub.get("patternProperties")
+        pat_rx = []
+        if isinstance(pp, dict):
+            for pat, pschema in pp.items():
+                try:
+                    rx = compile_ecma_pattern(pat)
+                except _re.error:
+                    continue  # ECMA-invalid: keyword ignored (c_pattern)
+                pat_rx.append(rx)
+                if pschema is True or pschema == {}:
+                    continue
+                psp = f"{sp}/patternProperties/{pat}"
+                builders = ((lambda col, dt: F.lit(False),) \
+                    if pschema is False else
+                    tuple(self._nested_builders(pschema, psp))) \
+                    if isinstance(pschema, (dict, bool)) else ()
+                if not builders:
+                    continue
+
+                def build_pp(col, dt, _rx=rx, _b=builders):
+                    if not isinstance(dt, T.StructType):
+                        return F.lit(True)
+                    oks = []
+                    for f in dt.fields:
+                        if not _rx.search(f.name):
+                            continue
+                        v = col.getField(f.name)
+                        oks.append(v.isNull() | _reduce_and(
+                            [bb(v, f.dataType).eqNullSafe(True)
+                             for bb in _b]))
+                    return _reduce_and(oks)
+
+                self._add(name, "patternProperties", psp,
+                          f"value under key matching {pat!r} violates "
+                          f"schema", "error", build_pp)
+
+        ap = sub.get("additionalProperties")
+        if ap is not None and (isinstance(ap, dict) or ap is False):
+            named = frozenset(props) if isinstance(props, dict) else \
+                frozenset()
+            ap_builders = () if ap is False else \
+                tuple(self._nested_builders(
+                    ap, f"{sp}/additionalProperties"))
+
+            def build_ap_struct(col, dt, _n=named, _rx=tuple(pat_rx),
+                                _b=ap_builders, _false=ap is False):
+                if not isinstance(dt, T.StructType):
+                    return F.lit(True)
+                oks = []
+                for f in dt.fields:
+                    if f.name in _n or any(rx.search(f.name)
+                                           for rx in _rx):
+                        continue
+                    v = col.getField(f.name)
+                    if _false:
+                        oks.append(v.isNull())
+                    elif _b:
+                        oks.append(v.isNull() | _reduce_and(
+                            [bb(v, f.dataType).eqNullSafe(True)
+                             for bb in _b]))
+                return _reduce_and(oks)
+
+            self._add(name, "additionalProperties",
+                      f"{sp}/additionalProperties",
+                      "additional properties are not allowed" if ap is False
+                      else "additional property violates schema",
+                      "error", build_ap_struct)
+
+    # -- unevaluatedProperties / unevaluatedItems (§2.4/§2.5 hard part) ------
+    # Static key-set algebra (SURVEY §7 hard-part 1): each in-place
+    # applicator branch contributes its evaluated key-set GATED on the
+    # branch succeeding — `when(branch_ok, keys)` unioned, then
+    # `array_except(present_keys, evaluated)` — all pure JVM Column
+    # expressions.  Annotation semantics mirror the reference
+    # (property.cljc:268-293, 1083-1095) and the spec-derived mini-model
+    # in tests/test_unevaluated_matrix.py: adjacent
+    # properties/patternProperties/additionalProperties claim
+    # unconditionally; allOf/anyOf/oneOf branches claim only when that
+    # branch individually succeeds (errors only — warnings never fail a
+    # branch).  Fragments carrying applicators whose claims this algebra
+    # cannot model ($ref, if/then/else at property level,
+    # dependentSchemas, nested unevaluated*) route to the Arrow interp
+    # via UnsupportedKeyword, the compiler's standing escape hatch.
+
+    _CLAIM_UNSAFE = frozenset({
+        "$ref", "$dynamicRef", "$recursiveRef", "dependentSchemas",
+        "dependencies", "propertyDependencies", "extends",
+        "unevaluatedProperties", "unevaluatedItems",
+    })
+
+    def _claim_patterns(self, frag):
+        """(java_rlike, compiled_python) pairs for patternProperties —
+        ECMA-invalid patterns are ignored by both engines."""
+        import re as _re
+
+        from m3spark.schema.core import compile_ecma_pattern
+        from m3spark.schema.ecma import java_pattern
+
+        out = []
+        pp = frag.get("patternProperties")
+        if isinstance(pp, dict):
+            for pat in pp:
+                try:
+                    out.append((java_pattern(pat),
+                                compile_ecma_pattern(pat)))
+                except _re.error:
+                    continue
+        return tuple(out)
+
+    def _object_claims(self, frag, name, sp, top=False):
+        """{names, patterns, all_keys, branches} claim structure for an
+        object fragment over a struct/map COLUMN; branch preds are
+        fn(col, dt) -> Column."""
+        if not isinstance(frag, dict):
+            return {"names": (), "patterns": (), "all_keys": False,
+                    "branches": ()}
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
+                  and not (top and k.startswith("unevaluated"))]
+        unsafe += [k for k in ("if", "then", "else") if k in frag]
+        if unsafe:
+            self.unsupported.append(
+                f"{sp} (unevaluated* claim algebra cannot model "
+                f"{sorted(set(unsafe))})")
+            return {"names": (), "patterns": (), "all_keys": False,
+                    "branches": ()}
+        props = frag.get("properties")
+        names = tuple(props) if isinstance(props, dict) else ()
+        branches = []
+        for comb in ("allOf", "anyOf", "oneOf"):
+            brs = frag.get(comb)
+            if not isinstance(brs, list):
+                continue
+            preds = [self._fragment_pred(b, f"{sp}/{comb}/{i}")
+                     if isinstance(b, (dict, bool)) else None
+                     for i, b in enumerate(brs)]
+            # interp parity (core.py c_one_of): oneOf contributes
+            # annotations ONLY when exactly one branch succeeds —
+            # failing the keyword drops every branch's claims
+            gate = (self._one_of_gate(preds) if comb == "oneOf"
+                    else None)
+            for i, b in enumerate(brs):
+                bsp = f"{sp}/{comb}/{i}"
+                if b is True or b == {} or b is False \
+                        or not isinstance(b, dict):
+                    continue  # claims nothing / never succeeds
+                pred = preds[i]
+                if gate is not None:
+                    pred = (lambda col, dt, _p=preds[i], _g=gate:
+                            _g(col, dt) & _p(col, dt))
+                branches.append((pred,
+                                 self._object_claims(b, name, bsp)))
+        return {"names": names, "patterns": self._claim_patterns(frag),
+                "all_keys": "additionalProperties" in frag,
+                "branches": tuple(branches)}
+
+    @staticmethod
+    def _one_of_gate(preds):
+        def gate(col, dt, _ps=tuple(p for p in preds if p is not None)):
+            total = None
+            for p in _ps:
+                x = F.when(p(col, dt).eqNullSafe(True), 1).otherwise(0)
+                total = x if total is None else total + x
+            return F.lit(True) if total is None else total == 1
+        return gate
+
+    @staticmethod
+    def _one_of_row_gate(preds):
+        def gate(dtypes, _ps=tuple(p for p in preds if p is not None)):
+            total = None
+            for p in _ps:
+                x = F.when(p(dtypes).eqNullSafe(True), 1).otherwise(0)
+                total = x if total is None else total + x
+            return F.lit(True) if total is None else total == 1
+        return gate
+
+    def _fragment_pred(self, frag, sp):
+        """fn(col, dt) -> branch-success Column for a property-level
+        fragment (error-level checks only: warnings don't fail a
+        branch, matching the interpreter's in-place applicators)."""
+        if frag is True or frag == {}:
+            return lambda col, dt: F.lit(True)
+        if frag is False:
+            return lambda col, dt: F.lit(False)
+        inner = ColumnarValidator({"properties": {"_e": frag}},
+                                  draft=self.draft,
+                                  format_assertion=self.format_assertion,
+                                  strict=False)
+        self.unsupported.extend(
+            u.replace("/properties/_e", sp) for u in inner.unsupported)
+        builders = []
+        for c in inner.checks:
+            if c.level != "error":
+                continue
+            if not getattr(c.build, "_jvm", True):
+                self.unsupported.append(
+                    f"{sp}/{c.keyword} (pandas-UDF check inside an "
+                    f"unevaluated* branch predicate)")
+                continue
+            builders.append(c.build)
+        return lambda col, dt, _b=tuple(builders): _reduce_and(
+            [bb(col, dt).eqNullSafe(True) for bb in _b])
+
+    def _error_builders(self, frag, sp):
+        """JVM error-level builders for a fragment (the unevaluated*
+        value-schema check), with the same pandas-UDF escape hatch as
+        _nested_builders."""
+        if frag is True or frag == {}:
+            return ()
+        if frag is False:
+            return (lambda col, dt: F.lit(False),)
+        inner = ColumnarValidator({"properties": {"_e": frag}},
+                                  draft=self.draft,
+                                  format_assertion=self.format_assertion,
+                                  strict=False)
+        self.unsupported.extend(
+            u.replace("/properties/_e", sp) for u in inner.unsupported)
+        out = []
+        for c in inner.checks:
+            if c.level != "error":
+                continue
+            if not getattr(c.build, "_jvm", True):
+                self.unsupported.append(
+                    f"{sp}/{c.keyword} (pandas-UDF check inside "
+                    f"unevaluated* value schema)")
+                continue
+            out.append(c.build)
+        return tuple(out)
+
+    def _claimed_field(self, claims, fname, col, dt):
+        """Boolean Column: struct field ``fname`` is evaluated."""
+        if claims["all_keys"] or fname in claims["names"] or any(
+                rx.search(fname) for _, rx in claims["patterns"]):
+            return F.lit(True)
+        acc = F.lit(False)
+        for pred, sub in claims["branches"]:
+            acc = acc | (pred(col, dt)
+                         & self._claimed_field(sub, fname, col, dt))
+        return acc
+
+    def _claimed_keys(self, claims, col, dt):
+        """array<string> Column of evaluated keys for a map column."""
+        keys = F.map_keys(col)
+        if claims["all_keys"]:
+            return keys
+        empty = F.array().cast("array<string>")
+        parts = []
+        if claims["names"]:
+            parts.append(F.array(*[F.lit(n) for n in claims["names"]]))
+        def _matching(jp):
+            # no default-arg capture: PySpark counts lambda params to
+            # decide whether to pass the element index
+            return lambda k: k.rlike(jp)
+
+        for jp, _ in claims["patterns"]:
+            parts.append(F.filter(keys, _matching(jp)))
+        for pred, sub in claims["branches"]:
+            parts.append(F.when(pred(col, dt),
+                                self._claimed_keys(sub, col, dt))
+                          .otherwise(empty))
+        return F.concat(*parts) if parts else empty
+
+    def _compile_unevaluated_props(self, name, sub, sp):
+        up = sub.get("unevaluatedProperties")
+        if up is None or not _ge(self.draft, D2019):
+            return
+        if up is True or up == {}:
+            return  # evaluates everything, never fails
+        if "additionalProperties" in sub:
+            return  # adjacent AP claims every key; uP can never fire
+        claims = self._object_claims(sub, name, sp, top=True)
+        usp = f"{sp}/unevaluatedProperties"
+        ub = None if up is False else (
+            self._error_builders(up, usp) if isinstance(up, dict) else None)
+        if up is not False and ub is None:
+            return
+
+        def build(col, dt, _c=claims, _b=ub):
+            if isinstance(dt, T.StructType):
+                oks = []
+                for f in dt.fields:
+                    val = col.getField(f.name)
+                    ok = val.isNull() \
+                        | self._claimed_field(_c, f.name, col, dt)
+                    if _b is not None:
+                        ok = ok | _reduce_and(
+                            [bb(val, f.dataType).eqNullSafe(True)
+                             for bb in _b])
+                    oks.append(ok)
+                return _reduce_and(oks)
+            if isinstance(dt, T.MapType):
+                unev = F.array_except(F.map_keys(col),
+                                      self._claimed_keys(_c, col, dt))
+                if _b is None:
+                    return F.size(unev) == 0
+                return F.forall(unev, lambda k: _reduce_and(
+                    [bb(F.element_at(col, k), dt.valueType)
+                        .eqNullSafe(True) for bb in _b]))
+            return F.lit(True)
+
+        self._add(name, "unevaluatedProperties", usp,
+                  "property not evaluated by any schema", "error", build)
+
+    def _array_claims(self, frag, sp, top=False):
+        """{n_prefix, all_items, contains, branches} claim structure for
+        an array fragment; 2020-12 contains claims its matches."""
+        if not isinstance(frag, dict):
+            return {"n_prefix": 0, "all_items": False, "contains": None,
+                    "branches": ()}
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
+                  and not (top and k.startswith("unevaluated"))]
+        unsafe += [k for k in ("if", "then", "else") if k in frag]
+        if unsafe:
+            self.unsupported.append(
+                f"{sp} (unevaluated* claim algebra cannot model "
+                f"{sorted(set(unsafe))})")
+            return {"n_prefix": 0, "all_items": False, "contains": None,
+                    "branches": ()}
+        from m3spark.schema.core import D2020
+        is2020 = _ge(self.draft, D2020)
+        items = frag.get("items")
+        prefix = frag.get("prefixItems") if is2020 else (
+            items if isinstance(items, list) else None)
+        n_prefix = len(prefix) if isinstance(prefix, list) else 0
+        # schema-form items evaluates every element; tuple-form plus
+        # additionalItems (<=2019) likewise claims the whole array
+        all_items = isinstance(items, (dict, bool)) or (
+            not is2020 and isinstance(items, list)
+            and isinstance(frag.get("additionalItems"), (dict, bool)))
+        contains = None
+        if is2020 and isinstance(frag.get("contains"), (dict, bool)):
+            contains = self._error_builders(frag["contains"],
+                                            f"{sp}/contains")
+        branches = []
+        for comb in ("allOf", "anyOf", "oneOf"):
+            brs = frag.get(comb)
+            if not isinstance(brs, list):
+                continue
+            preds = [self._fragment_pred(b, f"{sp}/{comb}/{i}")
+                     if isinstance(b, (dict, bool)) else None
+                     for i, b in enumerate(brs)]
+            gate = (self._one_of_gate(preds) if comb == "oneOf"
+                    else None)
+            for i, b in enumerate(brs):
+                bsp = f"{sp}/{comb}/{i}"
+                if b is True or b == {} or b is False \
+                        or not isinstance(b, dict):
+                    continue
+                pred = preds[i]
+                if gate is not None:
+                    pred = (lambda col, dt, _p=preds[i], _g=gate:
+                            _g(col, dt) & _p(col, dt))
+                branches.append((pred, self._array_claims(b, bsp)))
+        return {"n_prefix": n_prefix, "all_items": all_items,
+                "contains": contains, "branches": tuple(branches)}
+
+    def _claimed_item(self, claims, elem, idx, col, et, dt):
+        """Boolean Column: array element ``elem`` at 0-based ``idx`` is
+        evaluated."""
+        if claims["all_items"]:
+            return F.lit(True)
+        acc = idx < F.lit(claims["n_prefix"])
+        if claims["contains"] is not None:
+            cb = claims["contains"]
+            match = _reduce_and([bb(elem, et).eqNullSafe(True)
+                                 for bb in cb]) if cb else F.lit(True)
+            acc = acc | match
+        for pred, sub in claims["branches"]:
+            acc = acc | (pred(col, dt)
+                         & self._claimed_item(sub, elem, idx, col, et, dt))
+        return acc
+
+    def _compile_unevaluated_items(self, name, sub, sp):
+        ui = sub.get("unevaluatedItems")
+        if ui is None or not _ge(self.draft, D2019):
+            return
+        if ui is True or ui == {}:
+            return
+        claims = self._array_claims(sub, sp, top=True)
+        usp = f"{sp}/unevaluatedItems"
+        ub = None if ui is False else (
+            self._error_builders(ui, usp) if isinstance(ui, dict) else None)
+        if ui is not False and ub is None:
+            return
+        if claims["all_items"]:
+            return  # items-schema / additionalItems claim every element
+
+        def build(col, dt, _c=claims, _b=ub):
+            if not isinstance(dt, T.ArrayType):
+                return F.lit(True)
+            et = dt.elementType
+            unev = F.filter(
+                col, lambda x, i: ~self._claimed_item(_c, x, i, col, et,
+                                                      dt))
+            if _b is None:
+                return F.size(unev) == 0
+            return F.forall(unev, lambda x: _reduce_and(
+                [bb(x, et).eqNullSafe(True) for bb in _b]))
+
+        self._add(name, "unevaluatedItems", usp,
+                  "array element not evaluated by any schema", "error",
+                  build)
+
     def _compile_combinator(self, name, comb, subs, sp):
         if comb == "allOf":
             # pure conjunction: flatten every branch's checks to
@@ -1242,6 +1772,54 @@ def _variant_type_ok(v: Column, t: str) -> Column:
     if t == "number":
         return _variant_is_number(v)
     return F.lit(False)
+
+
+def _variant_cast(v: Column, t: str) -> Column:
+    """A variant VALUE as the given SQL type (NULL when incompatible)."""
+    return F.try_variant_get(v, "$", t)
+
+
+def _variant_arr(v: Column) -> Column:
+    """A variant value as array<variant>; NULL when it is not an array."""
+    return F.try_variant_get(v, "$", "array<variant>")
+
+
+def _variant_elem_in(v: Column, vals: tuple) -> Column:
+    """JSON equality of a variant VALUE against scalar literals: typed
+    (1 != true, 1 != \"1\") but numeric-kind-blind (1 == 1.0)."""
+    typ = F.schema_of_variant(v)
+    preds = []
+    for x in vals:
+        if x is None:
+            preds.append(typ == "VOID")
+        elif isinstance(x, bool):
+            preds.append((typ == "BOOLEAN")
+                         & (_variant_cast(v, "boolean") == F.lit(x)))
+        elif isinstance(x, (int, float)):
+            preds.append(_variant_is_number(v)
+                         & (_variant_cast(v, "double") == F.lit(float(x))))
+        else:
+            preds.append((typ == "STRING")
+                         & (_variant_cast(v, "string") == F.lit(x)))
+    return _reduce_or(preds) if preds else F.lit(False)
+
+
+def _field_lift(pk: str, p):
+    """Lift a variant predicate to field ``pk`` of an object variant:
+    a missing field (or non-object parent) passes."""
+    def lifted(v):
+        f = F.try_variant_get(v, f"$.{pk}", "variant")
+        return f.isNull() | p(f)
+    return lifted
+
+
+def _items_lift(p):
+    """Lift a variant predicate over every element of an array variant:
+    non-arrays pass (the type keyword reports those)."""
+    def lifted(v):
+        arr = _variant_arr(v)
+        return arr.isNull() | F.forall(arr, lambda e: p(e))
+    return lifted
 
 
 def _variant_num(v: Column, k: str) -> Column:

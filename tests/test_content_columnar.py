@@ -166,14 +166,15 @@ def test_content_schema_false(spark):
 
 
 def test_unsupported_content_schema_routes_to_interp():
+    # nested properties/items are columnar-lowerable since r4; an
+    # applicator like allOf inside contentSchema still routes to interp
     with pytest.raises(UnsupportedKeyword):
         ColumnarValidator(
             {"$schema": D2019,
              "properties": {"payload": {
                  "contentEncoding": "base64",
                  "contentMediaType": "application/json",
-                 "contentSchema": {"properties":
-                                   {"x": {"properties": {}}}}}}})
+                 "contentSchema": {"allOf": [{"type": "object"}]}}}})
 
 
 def test_old_drafts_ignore_content(spark):
@@ -252,3 +253,104 @@ def test_content_schema_alone_ignored_in_d7(spark):
     df = spark.createDataFrame([("nope",)], ["payload"])
     assert bool(cv.apply(df).collect()[0]["valid"])
     assert compile_schema(schema).validate({"payload": "nope"}).valid
+
+
+DEEP_CONTENT_SCHEMA = {
+    "type": "object",
+    "required": ["name", "cfg"],
+    "properties": {
+        "name": {"type": "string", "minLength": 2},
+        "cfg": {
+            "type": "object",
+            "required": ["port"],
+            "properties": {
+                "port": {"type": "integer", "minimum": 1,
+                         "maximum": 65535},
+                "host": {"type": "string",
+                         "pattern": "^[a-z.]+$"},
+                "nest": {"type": "object",
+                         "properties": {"deep": {"const": True}}},
+            },
+        },
+        "tags": {
+            "type": "array", "minItems": 1, "maxItems": 4,
+            "items": {"type": "string", "minLength": 2,
+                      "enum": ["web", "api", "db", 7, None]},
+        },
+        "ports": {"items": {"type": "integer", "minimum": 1024}},
+    },
+}
+
+DEEP_PAYLOADS = [
+    {"name": "web", "cfg": {"port": 80}},
+    {"name": "web", "cfg": {"port": 80, "host": "a.example"}},
+    {"name": "web", "cfg": {"port": 80, "host": "BAD"}},
+    {"name": "web", "cfg": {"port": 0}},
+    {"name": "web", "cfg": {"port": "80"}},
+    {"name": "web", "cfg": {}},
+    {"name": "web", "cfg": 5},
+    {"name": "web", "cfg": {"port": 80, "nest": {"deep": True}}},
+    {"name": "web", "cfg": {"port": 80, "nest": {"deep": 1}}},
+    {"name": "web", "cfg": {"port": 80, "nest": []}},
+    {"name": "web", "cfg": {"port": 80}, "tags": ["web", "db"]},
+    {"name": "web", "cfg": {"port": 80}, "tags": ["web", "x"]},
+    {"name": "web", "cfg": {"port": 80}, "tags": []},
+    {"name": "web", "cfg": {"port": 80}, "tags": ["web", 7]},
+    {"name": "web", "cfg": {"port": 80}, "tags": ["a", "b", "c", "d",
+                                                  "e"]},
+    {"name": "web", "cfg": {"port": 80}, "tags": "web"},
+    {"name": "web", "cfg": {"port": 80}, "ports": [8080, 9090]},
+    {"name": "web", "cfg": {"port": 80}, "ports": [80]},
+    {"name": "web", "cfg": {"port": 80}, "ports": [8080, "x"]},
+    {"name": "web", "cfg": {"port": 80}, "ports": 5},
+    {"cfg": {"port": 80}},
+    {"name": "w", "cfg": {"port": 80}},
+]
+
+
+@pytest.mark.parametrize("draft", [D2019])
+def test_deep_content_schema_parity(spark, draft):
+    """Nested objects (variant paths) + arrays (array<variant> forall)
+    inside contentSchema: columnar verdicts/keywords/paths/levels match
+    the interpreter on every payload."""
+    sub = {"type": "string", "contentEncoding": "base64",
+           "contentMediaType": "application/json",
+           "contentSchema": DEEP_CONTENT_SCHEMA}
+    schema = {"$schema": draft, "properties": {"payload": sub}}
+    cv = ColumnarValidator(schema)
+    payloads = [b64(p) for p in DEEP_PAYLOADS]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        T.StructType([T.StructField("i", T.IntegerType()),
+                      T.StructField("payload", T.StringType())]))
+    rows = {r["i"]: r for r in cv.apply(df).collect()}
+    mismatches = []
+    for i, p in enumerate(payloads):
+        exp_valid, exp_viol = _interp_expected(p, draft, sub)
+        # DEDUPLICATED triples: the interp emits one violation per
+        # failing array ELEMENT, the columnar engine one per check
+        # (forall collapses) — same keywords/paths/levels, different
+        # multiplicity, the established columnar granularity
+        exp_viol = sorted(set(exp_viol))
+        r = rows[i]
+        got = sorted({(v["keyword"], v["schema_path"], v["level"])
+                      for v in r["violations"]})
+        if bool(r["valid"]) != exp_valid or got != exp_viol:
+            mismatches.append(
+                f"{DEEP_PAYLOADS[i]}: columnar valid={r['valid']} "
+                f"viol={got}\n  interp valid={exp_valid} "
+                f"viol={exp_viol}")
+    assert not mismatches, "\n".join(mismatches)
+
+
+def test_deep_content_plan_is_jvm_only(spark):
+    cv = ColumnarValidator(
+        {"$schema": D2019,
+         "properties": {"payload": {
+             "contentEncoding": "base64",
+             "contentMediaType": "application/json",
+             "contentSchema": DEEP_CONTENT_SCHEMA}}})
+    df = spark.createDataFrame(
+        [(b64({"name": "web", "cfg": {"port": 80}}),)], ["payload"])
+    plan = cv.apply(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan

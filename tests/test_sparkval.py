@@ -138,6 +138,9 @@ def test_columnar_plan_stays_jvm_side(spark):
 
 
 def test_columnar_unsupported_raises(spark):
+    # root unevaluatedProperties is columnar-lowerable since r4; a root
+    # dependentSchemas still routes to the interpreter
     with pytest.raises(Exception) as ei:
-        ColumnarValidator({"unevaluatedProperties": False})
-    assert "unevaluatedProperties" in str(ei.value)
+        ColumnarValidator({"dependentSchemas":
+                           {"a": {"properties": {"b": {}}}}})
+    assert "dependentSchemas" in str(ei.value)
