@@ -17,8 +17,9 @@ from m3spark.schema import compile_schema
 from corpus import CASES
 from corpus2 import CASES2
 from corpus3 import CASES3
+from corpus4 import CASES4
 
-ALL_CASES = CASES + CASES2 + CASES3
+ALL_CASES = CASES + CASES2 + CASES3 + CASES4
 
 M3_TESTS_DIR = "/root/reference/test-resources/m3-tests"
 
