@@ -42,12 +42,63 @@ class EcmaUnsupported(re.error):
     """Pattern uses a construct with no exact Python/Java equivalent."""
 
 
+def _count_captures(pattern: str) -> int:
+    """Capturing-group count (plain ``(`` + named groups), class-aware —
+    decides whether a decimal escape is a backreference or Annex-B
+    legacy octal."""
+    count = 0
+    i, n = 0, len(pattern)
+    in_cls = False
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_cls:
+            if c == "]":
+                in_cls = False
+            i += 1
+            continue
+        if c == "[":
+            in_cls = True
+        elif c == "(":
+            if not pattern.startswith("(?", i):
+                count += 1
+            elif re.match(rf"\(\?<{_NAME}>", pattern[i:]):
+                count += 1  # named groups capture; (?<= (?<! do not
+        i += 1
+    return count
+
+
+def _octal_escape(digits: str, flavor: str):
+    """(translated, n_digits_consumed) for an Annex-B legacy octal /
+    identity escape: longest <=3-digit octal prefix with value <= 0377;
+    ``\\8``/``\\9`` are identity escapes (the digit itself)."""
+    j, val = 0, 0
+    while j < len(digits) and j < 3 and digits[j] in "01234567" \
+            and val * 8 + int(digits[j]) <= 0o377:
+        val = val * 8 + int(digits[j])
+        j += 1
+    if j == 0:  # \8 \9 -> the literal digit
+        return digits[0], 1
+    rep = ("\\x{%x}" % val) if flavor == "java" else ("\\x%02x" % val)
+    return rep, j
+
+
 def translate(pattern: str, flavor: str = "python") -> str:
     """Translate an ECMA-262 pattern for the given engine flavor
     ('python' or 'java').  Raises ``re.error`` (or the
-    :class:`EcmaUnsupported` subclass) for ECMA-invalid constructs."""
+    :class:`EcmaUnsupported` subclass) for ECMA-invalid constructs.
+
+    Annex-B web-legacy forms are translated exactly (matching GraalJS,
+    which compiles in web-compatibility mode — reference
+    ecma.cljc:27-38): decimal escapes beyond the capture count are
+    legacy octal, ``\\8``/``\\9`` are identity escapes, ``\\c`` with no
+    control letter matches the two characters ``\\c``, and ``\\x``/
+    ``\\u`` with malformed hex are identity escapes for ``x``/``u``."""
     out: list[str] = []
     i, n = 0, len(pattern)
+    n_caps = _count_captures(pattern)
     in_class = False
     dollar = "\\Z" if flavor == "python" else "\\z"
     while i < n:
@@ -56,10 +107,35 @@ def translate(pattern: str, flavor: str = "python") -> str:
             if i + 1 >= n:
                 raise re.error("trailing backslash")
             nxt = pattern[i + 1]
-            if nxt == "c" and i + 2 < n and pattern[i + 2].isascii() \
-                    and pattern[i + 2].isalpha():
-                out.append("\\x%02x" % (ord(pattern[i + 2].upper()) - 64))
-                i += 3
+            if nxt == "c":
+                if i + 2 < n and pattern[i + 2].isascii() \
+                        and pattern[i + 2].isalpha():
+                    out.append("\\x%02x"
+                               % (ord(pattern[i + 2].upper()) - 64))
+                    i += 3
+                else:
+                    # Annex B: \c with no control letter matches the
+                    # literal two characters backslash + c
+                    out.append("\\\\c")
+                    i += 2
+                continue
+            if nxt.isdigit():
+                digits = re.match(r"[0-9]+", pattern[i + 1:]).group(0)
+                if not in_class and nxt != "0" \
+                        and int(digits) <= n_caps:
+                    out.append("\\" + digits)  # true backreference
+                    i += 1 + len(digits)
+                    continue
+                # Annex B legacy octal / identity escape (classes have
+                # no backrefs: always octal there)
+                rep, used = _octal_escape(digits, flavor)
+                out.append(rep)
+                i += 1 + used
+                continue
+            if nxt == "x" and not re.match(r"\\x[0-9A-Fa-f]{2}",
+                                           pattern[i:]):
+                out.append("x")  # Annex B identity escape
+                i += 2
                 continue
             if nxt == "u":
                 m = re.match(r"\\u\{([0-9A-Fa-f]{1,6})\}", pattern[i:])
@@ -71,6 +147,10 @@ def translate(pattern: str, flavor: str = "python") -> str:
                         out.append("\\U%08x" % cp if cp > 0xFFFF
                                    else "\\u%04x" % cp)
                     i += m.end()
+                    continue
+                if not re.match(r"\\u[0-9A-Fa-f]{4}", pattern[i:]):
+                    out.append("u")  # Annex B identity escape
+                    i += 2
                     continue
             if not in_class and nxt == "k":
                 m = re.match(rf"\\k<({_NAME})>", pattern[i:])
@@ -90,10 +170,24 @@ def translate(pattern: str, flavor: str = "python") -> str:
             out.append(ch)
             out.append(nxt)
             i += 2
+            if in_class and nxt in "dDsSwW" and i < n \
+                    and pattern[i] == "-" and not \
+                    pattern.startswith("-]", i):
+                # Annex B: dash AFTER a class escape is literal too
+                out.append("\\-")
+                i += 1
             continue
         if in_class:
             if ch == "]":
                 in_class = False
+            elif ch == "-" and re.match(r"\\[dDsSwW]",
+                                        pattern[i + 1:i + 3]):
+                # Annex B legacy class: a dash adjacent to a class
+                # escape is a LITERAL dash (\d-x is not a range);
+                # Python rejects the bare form, so escape it
+                out.append("\\-")
+                i += 1
+                continue
             out.append(ch)
             i += 1
             continue
@@ -125,6 +219,12 @@ def translate(pattern: str, flavor: str = "python") -> str:
                 i += m.end()
                 continue
             out.append(ch)
+            i += 1
+            continue
+        if ch == "{" and not re.match(r"\{\d+(,\d*)?\}", pattern[i:]):
+            # Annex B: a '{' that opens no valid quantifier is a
+            # literal (Python agrees; Java would reject it unescaped)
+            out.append("\\{")
             i += 1
             continue
         if ch == ".":

@@ -104,3 +104,92 @@ def test_columnar_pattern_matches_interpreter(spark):
     cv2 = ColumnarValidator({"properties": {"x": {"pattern": "^\\d+$"}}})
     got2 = {r["x"]: r["valid"] for r in cv2.apply(df).collect()}
     assert got2["123"] is True and got2["١٢٣"] is False
+
+
+# -- Annex B (web-legacy) closure battery (r4) ------------------------------
+# Hand-derived V8/GraalJS web-compat behaviors (the reference compiles
+# under GraalJS, which implements Annex B: ecma.cljc:27-38).
+
+ANNEX_B_VALIDITY = [
+    (r"\c1", True),        # \c no control letter: literal backslash-c
+    (r"\c", True),
+    (r"\8", True),         # identity escape
+    (r"\12", True),        # legacy octal (no groups)
+    (r"[\1]", True),       # in-class octal
+    (r"\x", True),         # malformed hex: identity escape for x
+    (r"\xzz", True),
+    (r"\u", True),         # malformed unicode: identity escape for u
+    (r"[\d-x]", True),     # legacy class: dash next to class escape
+    (r"[a-\d]", True),
+    (r"a{2", True),        # unclosed quantifier: literal
+    (r"a{", True),
+    (r"}", True),          # dangling } is literal
+    (r"]", True),          # dangling ] is literal
+]
+
+ANNEX_B_SEMANTICS = [
+    (r"\c1", "\\c1", True),
+    (r"\c1", "c1", False),
+    (r"(a)\1", "aa", True),          # true backref stays a backref
+    (r"(a)\1", "a\x01", False),
+    (r"\1", "\x01", True),           # no groups: octal 1
+    (r"\12", "\n", True),            # octal 12 = LF
+    (r"(a)\12", "a\n", True),        # 12 > 1 group: octal
+    (r"(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)\11", "abcdefghijkk", True),
+    (r"\8", "8", True),
+    (r"\9x", "9x", True),
+    (r"\012", "\n", True),
+    (r"[\1]", "\x01", True),
+    (r"[\8]", "8", True),
+    (r"\x", "x", True),
+    (r"\xzz", "xzz", True),
+    (r"\x41", "A", True),            # well-formed hex still hex
+    (r"A", "A", True),
+    (r"\uzz", "uzz", True),
+    (r"[\d-x]", "-", True),
+    (r"[\d-x]", "5", True),
+    (r"[\d-x]", "q", False),
+    (r"[a-\d]", "-", True),
+    (r"a{2", "a{2", True),
+    (r"a{2", "aa", False),
+    (r"x{1,2}", "x", True),          # real quantifiers untouched
+    (r"x{1,2}", "{", False),
+]
+
+
+@pytest.mark.parametrize("pattern,want", ANNEX_B_VALIDITY,
+                         ids=[p for p, _ in ANNEX_B_VALIDITY])
+def test_annex_b_validity(pattern, want):
+    assert is_ecma_regex(pattern) == want
+
+
+@pytest.mark.parametrize("pattern,s,want", ANNEX_B_SEMANTICS,
+                         ids=[f"{p}~{s!r}" for p, s, _ in ANNEX_B_SEMANTICS])
+def test_annex_b_semantics(pattern, s, want):
+    rx = compile_ecma(pattern)
+    assert (rx.search(s) is not None) == want
+
+
+def test_annex_b_jvm_agreement(spark):
+    """JVM rlike path agrees verdict-for-verdict with compile_ecma on
+    every Annex-B probe."""
+    probes = sorted({s for _, s, _ in ANNEX_B_SEMANTICS})
+    patterns = sorted({p for p, _, _ in ANNEX_B_SEMANTICS})
+    df = spark.createDataFrame([(s,) for s in probes], "s string")
+    mism = []
+    for pat in patterns:
+        jp = java_pattern(pat)
+        got_jvm = {r["s"]: bool(r["ok"]) for r in
+                   df.select("s", F.col("s").rlike(jp).alias("ok"))
+                     .collect()}
+        rx = compile_ecma(pat)
+        mism += [(pat, s, got_jvm[s], rx.search(s) is not None)
+                 for s in probes
+                 if got_jvm[s] != (rx.search(s) is not None)]
+    assert not mism, mism
+
+
+def test_lone_surrogate_escape():
+    rx = compile_ecma(r"\ud800")
+    assert rx.search("\ud800") is not None
+    assert rx.search("a") is None
