@@ -141,6 +141,39 @@ def run_bench() -> dict:
     }
 
 
+def _ui_stage_metrics(port: int = 4040) -> list:
+    """Completed-stage metrics from the driver's REST API (per-stage
+    wall-time attribution: where does executor time actually go)."""
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1{path}", timeout=10) as r:
+            return json.loads(r.read())
+
+    app_id = get("/applications")[0]["id"]
+    return get(f"/applications/{app_id}/stages?status=complete")
+
+
+def _aggregate_stages(stages: list, min_stage_id: int) -> dict:
+    """Sum the attribution-relevant task-time components over the
+    stages of the TIMED runs (stageId > min_stage_id).  All ms except
+    executorCpuTime, which the API reports in ns."""
+    agg = {"run_ms": 0, "cpu_ms": 0, "gc_ms": 0, "fetch_wait_ms": 0,
+           "shuffle_write_ms": 0, "ser_ms": 0}
+    for s in stages:
+        if s["stageId"] <= min_stage_id:
+            continue
+        agg["run_ms"] += s.get("executorRunTime", 0)
+        agg["cpu_ms"] += s.get("executorCpuTime", 0) // 1_000_000
+        agg["gc_ms"] += s.get("jvmGcTime", 0)
+        agg["fetch_wait_ms"] += s.get("shuffleFetchWaitTime", 0)
+        agg["shuffle_write_ms"] += s.get("shuffleWriteTime", 0) \
+            // 1_000_000
+        agg["ser_ms"] += s.get("resultSerializationTime", 0)
+    return agg
+
+
 def scale_child(cores: int, n_pages: int,
                 warmups: int | None = None, timed: int | None = None,
                 executors: int | None = None):
@@ -151,7 +184,12 @@ def scale_child(cores: int, n_pages: int,
     ``executors=E`` runs the level as ``local-cluster[E, cores, mem]``
     — E separate executor JVM processes with their own shuffle servers
     and Python workers, the honest in-sandbox analog of an N-executor
-    cluster (VERDICT r2 task 1: process scaling, not thread scaling)."""
+    cluster (VERDICT r2 task 1: process scaling, not thread scaling).
+
+    Also emits per-stage attribution over the timed runs (UI REST API):
+    executor run/cpu/GC/shuffle-fetch/write time — the VERDICT r3 task-1
+    breakdown showing whether wall-clock loss is engine work or
+    unrealized CPU (host steal/contention)."""
     from m3spark.session import get_spark
 
     if warmups is None:
@@ -162,11 +200,16 @@ def scale_child(cores: int, n_pages: int,
     spark = get_spark(f"scale-{executors}x{cores}" if executors
                       else f"scale-{cores}",
                       cores=cores, executors=executors,
-                      shuffle_partitions=total * 2)
+                      shuffle_partitions=total * 2, ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     path = _pages_parquet(spark, n_pages)
     for _ in range(warmups):
         _validate_pages_job(spark, path)
+    try:
+        warm_stages = _ui_stage_metrics()
+        last_warm_id = max((s["stageId"] for s in warm_stages), default=-1)
+    except Exception:  # noqa: BLE001 — attribution is best-effort
+        last_warm_id = None
     secs = []
     n = n_pages
     for _ in range(timed):
@@ -174,9 +217,17 @@ def scale_child(cores: int, n_pages: int,
         n, _ = _validate_pages_job(spark, path)
         secs.append(time.monotonic() - t0)
     med = statistics.median(secs)
-    print(json.dumps({"cores": total, "executors": executors, "sec": med,
-                      "runs_sec": [round(s, 3) for s in secs],
-                      "docs_per_sec": n / med}))
+    out = {"cores": total, "executors": executors, "sec": med,
+           "runs_sec": [round(s, 3) for s in secs],
+           "docs_per_sec": n / med}
+    if last_warm_id is not None:
+        try:
+            out["stage_metrics"] = _aggregate_stages(
+                _ui_stage_metrics(), last_warm_id)
+            out["stage_metrics"]["timed_runs"] = len(secs)
+        except Exception:  # noqa: BLE001
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -257,7 +308,7 @@ def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
                          cpuset=f"0-{n_high - 1}")
         cpu = _cpu_baseline(n_low, n_high)
         eff = hi["docs_per_sec"] / (lo["docs_per_sec"] * (n_high / n_low))
-        attempts_out.append({
+        attempt = {
             "low_sec": round(lo["sec"], 3),
             "high_sec": round(hi["sec"], 3),
             "low_docs_per_sec": round(lo["docs_per_sec"], 1),
@@ -265,7 +316,11 @@ def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
             "efficiency": round(eff, 3),
             "cpu_baseline_efficiency": round(cpu["efficiency"], 3),
             "normalized_efficiency": round(eff / cpu["efficiency"], 3),
-        })
+        }
+        if "stage_metrics" in lo and "stage_metrics" in hi:
+            attempt["attribution"] = _attribute(lo["stage_metrics"],
+                                                hi["stage_metrics"])
+        attempts_out.append(attempt)
     med = statistics.median(a["efficiency"] for a in attempts_out)
     med_norm = statistics.median(a["normalized_efficiency"]
                                  for a in attempts_out)
@@ -296,6 +351,109 @@ def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
         "target": 0.8,
     }
     _write_bench_md_cluster(report, e_low, e_high, cores_per)
+    return report
+
+
+def _attribute(lo_m: dict, hi_m: dict) -> dict:
+    """Per-stage wall-time attribution across the two levels (VERDICT r3
+    task 1a): splits the raw-efficiency loss into ENGINE-ADDED CPU work
+    (cpu_work_ratio: per-doc executor CPU time at 4N over N — 1.0 means
+    the engine does no extra work at 4N) and UNREALIZED CPU
+    (cpu_utilization: the fraction of task wall-time the executors
+    actually got CPU for — a drop at 4N with flat cpu_work_ratio is
+    host steal/contention, corroborated when it tracks the same-window
+    md5 baseline), plus the GC / shuffle-fetch-wait shares of wall."""
+    def shares(m):
+        run = max(m["run_ms"], 1)
+        return {
+            "cpu_utilization": round(m["cpu_ms"] / run, 3),
+            "gc_share": round(m["gc_ms"] / run, 4),
+            "fetch_wait_share": round(m["fetch_wait_ms"] / run, 4),
+            "shuffle_write_share": round(m["shuffle_write_ms"] / run, 4),
+            "cpu_ms": m["cpu_ms"], "run_ms": m["run_ms"],
+        }
+    lo_s, hi_s = shares(lo_m), shares(hi_m)
+    return {
+        "low": lo_s, "high": hi_s,
+        # same docs both sides => ratio of totals IS per-doc ratio
+        "cpu_work_ratio": round(hi_m["cpu_ms"] / max(lo_m["cpu_ms"], 1),
+                                3),
+        "utilization_ratio": round(hi_s["cpu_utilization"]
+                                   / max(lo_s["cpu_utilization"], 1e-9),
+                                   3),
+    }
+
+
+def _stage_task_max(port: int = 4040) -> dict:
+    """{stageId: max task executorRunTime ms} for completed stages —
+    the hot-reducer signal for skew measurements."""
+    import urllib.request
+
+    def get(path):
+        with urllib.request.urlopen(
+                f"http://localhost:{port}/api/v1{path}", timeout=10) as r:
+            return json.loads(r.read())
+
+    app_id = get("/applications")[0]["id"]
+    out = {}
+    for s in get(f"/applications/{app_id}/stages?status=complete"):
+        sid, att = s["stageId"], s["attemptId"]
+        try:
+            q = get(f"/applications/{app_id}/stages/{sid}/{att}"
+                    f"/taskSummary?quantiles=1.0")
+            out[sid] = q["executorRunTime"][0]
+        except Exception:  # noqa: BLE001 — summary may be evicted
+            out[sid] = None
+    return out
+
+
+def run_skew(n_pages: int | None = None, salt: int = 32,
+             timed: int = 3) -> dict:
+    """Salted vs unsalted keyed count under the generator's planted
+    hot-domain Zipf skew (pages.py: 30% of rows on 3 domains) — the
+    VERDICT r3 task-7 evidence.  The key is the url's DOMAIN, so three
+    keys carry 30% of 20M rows; the unsalted single-phase groupBy sends
+    each hot key to ONE reducer, the salted two-phase
+    (checks.uniqueness.duplicate_keys salt_partitions=N) spreads it
+    over N.  Reports wall-time and the MAX single-task time (the
+    hot-reducer straggler) per variant."""
+    from m3spark.checks.uniqueness import duplicate_keys
+    from m3spark.session import get_spark
+
+    if n_pages is None:
+        n_pages = int(os.environ.get("M3SPARK_SKEW_PAGES", "20000000"))
+    spark = get_spark("skew-bench", ui=True)
+    spark.sparkContext.setLogLevel("ERROR")
+    path = _pages_parquet(spark, n_pages)
+    from pyspark.sql import functions as F
+    pages = spark.read.parquet(path).select(
+        F.regexp_extract("url", "//([^/]+)/", 1).alias("domain"))
+
+    results = {}
+    for name, salt_n in (("unsalted", None), (f"salted_{salt}", salt)):
+        q = duplicate_keys(pages, "domain", salt_partitions=salt_n)
+        q.count()  # warmup (codegen + cache)
+        secs, max_task = [], 0
+        for _ in range(timed):
+            before = _stage_task_max()
+            t0 = time.monotonic()
+            n_dup = q.count()
+            secs.append(time.monotonic() - t0)
+            after = _stage_task_max()
+            new = {sid: ms for sid, ms in after.items()
+                   if sid not in before and ms}
+            if new:
+                max_task = max(max_task, max(new.values()))
+        results[name] = {
+            "wall_sec": round(statistics.median(secs), 3),
+            "runs_sec": [round(s, 3) for s in secs],
+            "max_task_ms": max_task,
+            "dup_keys": n_dup,
+        }
+    spark.stop()
+    report = {"pages_rows": n_pages, "salt_partitions": salt,
+              "key": "url domain (3 hot keys carry 30% of rows)",
+              "variants": results}
     return report
 
 
@@ -601,6 +759,8 @@ if __name__ == "__main__":
                     executors=execs)
     elif "--scaling-cluster" in sys.argv:
         print(json.dumps(run_scaling_cluster()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

@@ -16,7 +16,8 @@ from pyspark.sql import SparkSession
 def get_spark(app: str = "m3spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               executors: int | None = None,
-              executor_mem_mb: int = 4096) -> SparkSession:
+              executor_mem_mb: int = 4096,
+              ui: bool = False) -> SparkSession:
     """``executors=None`` → single-JVM ``local[cores]``.
 
     ``executors=E`` → ``local-cluster[E, cores, mem]``: E separate
@@ -71,7 +72,7 @@ def get_spark(app: str = "m3spark", cores: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
