@@ -450,10 +450,59 @@ def run_skew(n_pages: int | None = None, salt: int = 32,
             "max_task_ms": max_task,
             "dup_keys": n_dup,
         }
+
+    # the keyed COUNT is skew-immune by construction (map-side partial
+    # aggregation collapses each hot key to one partial per input
+    # partition) — the real skew victim is a non-broadcast JOIN on the
+    # hot key.  Join pages against a per-domain dim on domain with
+    # broadcast disabled (forcing sort-merge) and measure AQE
+    # skew-join splitting ON vs OFF: the north rule's named mitigation.
+    dim = (pages.groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("domain_rows")))
+    dim.write.mode("overwrite").parquet(
+        os.path.join(BENCH_CACHE, "domains.parquet"))
+    dimr = spark.read.parquet(os.path.join(BENCH_CACHE,
+                                           "domains.parquet"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    join_results = {}
+    for name, aqe_skew in (("smj_aqe_skew_off", "false"),
+                           ("smj_aqe_skew_on", "true")):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe_skew)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "8m")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+        def build_join():
+            # fresh plan per run: a re-collected AdaptiveSparkPlan
+            # would reuse its already-materialized shuffle stages
+            return (pages.join(dimr, "domain")
+                         .groupBy().agg(F.sum("domain_rows").alias("s")))
+
+        build_join().collect()  # warmup
+        secs, max_task = [], 0
+        for _ in range(timed):
+            before = _stage_task_max()
+            t0 = time.monotonic()
+            build_join().collect()
+            secs.append(time.monotonic() - t0)
+            after = _stage_task_max()
+            new = {sid: ms for sid, ms in after.items()
+                   if sid not in before and ms}
+            if new:
+                max_task = max(max_task, max(new.values()))
+        join_results[name] = {
+            "wall_sec": round(statistics.median(secs), 3),
+            "runs_sec": [round(s, 3) for s in secs],
+            "max_task_ms": max_task,
+        }
     spark.stop()
     report = {"pages_rows": n_pages, "salt_partitions": salt,
               "key": "url domain (3 hot keys carry 30% of rows)",
-              "variants": results}
+              "variants": results,
+              "skew_join": join_results}
     return report
 
 
@@ -566,6 +615,14 @@ def _write_bench_md_cluster(report: dict, e_low: int, e_high: int,
         f"| {a['efficiency']} | {a['cpu_baseline_efficiency']} "
         f"| {a['normalized_efficiency']} |"
         for i, a in enumerate(report["attempts"]))
+    attr_rows = "\n".join(
+        f"| {i + 1} | {t['low']['cpu_utilization']} "
+        f"| {t['high']['cpu_utilization']} | {t['cpu_work_ratio']} "
+        f"| {t['low']['gc_share']} | {t['high']['gc_share']} "
+        f"| {t['high']['fetch_wait_share']} |"
+        for i, t in ((j, a.get("attribution"))
+                     for j, a in enumerate(report["attempts"]))
+        if t) or "| (attribution unavailable this run) | | | | | | |"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — N -> 4N EXECUTOR-PROCESS scaling evidence
@@ -611,6 +668,21 @@ efficiency, isolating engine-attributable scaling loss from host steal.
 (best attempt {report['best_attempt_efficiency']}; target >= 0.8).
 **Latest-batch median normalized = {report['normalized_efficiency']}.**
 
+## Per-stage attribution (where executor time goes, timed runs only)
+
+Per-attempt breakdown from the driver REST API over the TIMED runs:
+`cpu util` = executorCpuTime / executorRunTime (the fraction of task
+wall the executors actually got CPU for); `work ratio` = total
+executor CPU at 4N over N for the SAME rows (1.0 = the engine does no
+extra work at 4N; >1 = extra CPU burned, e.g. more partial-agg
+buckets); GC and shuffle-fetch-wait as shares of task wall.  A raw-
+efficiency gap with FLAT utilization and work ratio ~1 is unrealized
+CPU — host steal, corroborated by the same-window md5 baseline.
+
+| attempt | cpu util N | cpu util 4N | work ratio | GC N | GC 4N | fetch-wait 4N |
+|---|---|---|---|---|---|---|
+{attr_rows}
+
 ## Accumulated cluster-mode distribution (bench_history.json)
 
 Across **all {report['historical_attempts']} paired cluster-mode
@@ -637,6 +709,32 @@ the engine's intrinsic scaling from below (best attempt: raw 0.887 with
 a same-window no-JVM CPU baseline of 0.888 — the engine scales at the
 host's own ceiling).
 
+## Skew mitigation under the planted hot-domain Zipf (r4, `--skew`)
+
+The pages generator plants 30% of rows on 3 hot domains.  Measured at
+20,000,000 rows, domain key, local[16], fresh plan per timed run,
+max-task from the stage taskSummary API (reproduce:
+`python bench.py --skew`):
+
+| workload | variant | wall (median of 3) | max single task |
+|---|---|---|---|
+| keyed count (uniqueness shape) | unsalted 1-phase | 1.49 s | 313 ms |
+| keyed count | salted 2-phase (32) | 1.94 s | 317 ms |
+| sort-merge join on domain | AQE skew-join OFF | 5.47 s | 3,080 ms |
+| sort-merge join on domain | AQE skew-join ON | 4.28 s | 1,819 ms |
+
+Two findings: (1) the keyed COUNT — the uniqueness check's shape — is
+skew-immune by construction: map-side partial aggregation collapses a
+hot key to one partial per input partition, so the salted two-phase
+variant only adds a second shuffle (+30% wall, same max task).
+Salting stays in the library for aggregates without map-side
+reduction (collect-style) — for counts the 1-phase plan is the right
+default, now evidenced.  (2) the real skew victim is the
+non-broadcast JOIN on the hot key: AQE skew-join splitting cuts the
+hot-partition straggler max task by 41% (3,080 -> 1,819 ms) and wall
+by 22% — the north rule's named mitigation, on by default in
+m3spark.session.
+
 ## Round-2 bench regressions: attributed (r3 same-window A/B)
 
 Interleaved A/B of round-1 code vs current (fresh JVM per side, same
@@ -656,6 +754,23 @@ window, 5 timed runs after warmup, sf0.1):
   microbench 0.95s -> 0.75s per 50k; paired A/B residual vs round 1 is
   ~+12%, the retained cost of the feature itself (violations carry the
   offending value).
+
+## Round-3 bench deltas: attributed (r4 same-window ABBA A/B)
+
+tools/ab_bench.py, round-2 tree (d1a2155) vs current, fresh JVM per
+side, ABBA ordering across 2 rounds, 5 timed runs per invocation,
+sf0.1 (reproduce: `python tools/ab_bench.py d1a2155 <query>`):
+
+| query | r2->r3 recorded delta | same-window current/r2 | verdict |
+|---|---|---|---|
+| minhash_pairs_documents | +47% | **0.986** | host-window noise, no regression |
+| val_lineitem | +23% | **1.044** | noise; <=4% residual within run spread |
+| drift_events_ks | +62% | **1.035** | noise; ks_split library refactor costs ~3% |
+
+The driver's per-round bench runs land in uncontrolled host windows on
+this VM (same code measures 2-4x apart minutes apart — see the steal
+analysis above); cross-round BENCH_rN deltas are therefore only
+actionable after a same-window A/B, which is now a standing tool.
 
 ## Why executors of {cores_per} cores, {e_low} -> {e_high}
 
