@@ -310,12 +310,13 @@ class ColumnarValidator:
         "deprecated", "readOnly", "writeOnly",
         "contentEncoding", "contentMediaType", "contentSchema",
         "unevaluatedProperties", "unevaluatedItems",
+        "if", "then", "else",
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
         "required", "additionalProperties", "title", "description",
         "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-        "dependentRequired", "unevaluatedProperties",
+        "dependentRequired", "dependentSchemas", "unevaluatedProperties",
     }
 
     _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
@@ -398,6 +399,22 @@ class ColumnarValidator:
                 self._row_check(
                     "dependentRequired", f"{sp}/dependentRequired/{key}",
                     f"property {key!r} requires {list(needs)!r}", build_dep)
+        dsch = schema.get("dependentSchemas")
+        if isinstance(dsch, dict) and _ge(self.draft, D2019):
+            for key, s in dsch.items():
+                if not isinstance(s, (dict, bool)):
+                    continue
+                pred = self._row_pred(s, f"{sp}/dependentSchemas/{key}")
+
+                def build_ds(_col, dtypes, _k=key, _p=pred):
+                    trig = F.col(_k).isNotNull() if _k in dtypes \
+                        else F.lit(False)
+                    return F.when(trig, _p(dtypes).eqNullSafe(True)) \
+                            .otherwise(F.lit(True))
+
+                self._row_check(
+                    "dependentSchemas", f"{sp}/dependentSchemas/{key}",
+                    f"dependent schema for {key!r} failed", build_ds)
         if _ge(self.draft, D2019):
             self._compile_root_unevaluated(schema, sp)
 
@@ -411,6 +428,7 @@ class ColumnarValidator:
             return {"names": (), "patterns": (), "all_keys": False,
                     "branches": ()}
         unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
+                  and k != "dependentSchemas"  # modeled below at root
                   and not (top and k.startswith("unevaluated"))]
         if unsafe:
             self.unsupported.append(
@@ -461,6 +479,22 @@ class ColumnarValidator:
 
                 branches.append((gated,
                                  self._root_claims(a, f"{sp}/{arm}")))
+        # dependentSchemas claims: triggered (key present) AND the
+        # dependent schema succeeds (c_dependent_schemas parity)
+        ds = frag.get("dependentSchemas")
+        if isinstance(ds, dict):
+            for k, s in ds.items():
+                if not isinstance(s, dict) or s == {}:
+                    continue
+                dsp = f"{sp}/dependentSchemas/{k}"
+                s_pred = self._row_pred(s, dsp, errors_only=True)
+
+                def ds_gated(dtypes, _k=k, _p=s_pred):
+                    trig = F.col(_k).isNotNull() if _k in dtypes \
+                        else F.lit(False)
+                    return trig & _p(dtypes).eqNullSafe(True)
+
+                branches.append((ds_gated, self._root_claims(s, dsp)))
         return {"names": names, "patterns": self._claim_patterns(frag),
                 "all_keys": "additionalProperties" in frag,
                 "branches": tuple(branches)}
@@ -703,6 +737,26 @@ class ColumnarValidator:
                       "error",
                       lambda col, dt, _b=builders: ~_reduce_and(
                           [b(col, dt) for b in _b]))
+        # property-level conditional (draft-7+), mirroring the root
+        # lowering: when(if_ok, then_ok, else_ok) over this column
+        if isinstance(sub.get("if"), (dict, bool)) and _ge(draft, DRAFT7):
+            if_p = self._fragment_pred(sub["if"], f"{sp}/if")
+            then_p = (self._fragment_pred(sub["then"], f"{sp}/then")
+                      if isinstance(sub.get("then"), (dict, bool))
+                      else None)
+            else_p = (self._fragment_pred(sub["else"], f"{sp}/else")
+                      if isinstance(sub.get("else"), (dict, bool))
+                      else None)
+
+            def build_ite(col, dt, _i=if_p, _t=then_p, _e=else_p):
+                cond = _i(col, dt)
+                t_ok = _t(col, dt) if _t is not None else F.lit(True)
+                e_ok = _e(col, dt) if _e is not None else F.lit(True)
+                return F.when(cond, t_ok).otherwise(e_ok)
+
+            self._add(name, "if", f"{sp}/if",
+                      "conditional (if/then/else) failed", "error",
+                      build_ite)
 
     # -- content keywords (decode-then-validate, §2.9) -----------------------
     # Lowered to pure JVM expressions: base64 structural validity as one
@@ -1302,7 +1356,6 @@ class ColumnarValidator:
                     "branches": ()}
         unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
                   and not (top and k.startswith("unevaluated"))]
-        unsafe += [k for k in ("if", "then", "else") if k in frag]
         if unsafe:
             self.unsupported.append(
                 f"{sp} (unevaluated* claim algebra cannot model "
@@ -1335,6 +1388,25 @@ class ColumnarValidator:
                             _g(col, dt) & _p(col, dt))
                 branches.append((pred,
                                  self._object_claims(b, name, bsp)))
+        # if/then/else claims (c_if parity): a successful `if`
+        # contributes; the taken arm contributes only when IT succeeds
+        if isinstance(frag.get("if"), (dict, bool)):
+            if_p = self._fragment_pred(frag["if"], f"{sp}/if")
+            if isinstance(frag["if"], dict):
+                branches.append((if_p, self._object_claims(
+                    frag["if"], name, f"{sp}/if")))
+            for arm, taken in (("then", True), ("else", False)):
+                a = frag.get(arm)
+                if not isinstance(a, dict):
+                    continue
+                arm_p = self._fragment_pred(a, f"{sp}/{arm}")
+
+                def gated(col, dt, _i=if_p, _a=arm_p, _t=taken):
+                    cond = _i(col, dt)
+                    return (cond if _t else ~cond) & _a(col, dt)
+
+                branches.append((gated, self._object_claims(
+                    a, name, f"{sp}/{arm}")))
         return {"names": names, "patterns": self._claim_patterns(frag),
                 "all_keys": "additionalProperties" in frag,
                 "branches": tuple(branches)}
@@ -1494,7 +1566,6 @@ class ColumnarValidator:
                     "branches": ()}
         unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
                   and not (top and k.startswith("unevaluated"))]
-        unsafe += [k for k in ("if", "then", "else") if k in frag]
         if unsafe:
             self.unsupported.append(
                 f"{sp} (unevaluated* claim algebra cannot model "
@@ -1536,6 +1607,24 @@ class ColumnarValidator:
                     pred = (lambda col, dt, _p=preds[i], _g=gate:
                             _g(col, dt) & _p(col, dt))
                 branches.append((pred, self._array_claims(b, bsp)))
+        if isinstance(frag.get("if"), (dict, bool)):
+            if_p = self._fragment_pred(frag["if"], f"{sp}/if")
+            if isinstance(frag["if"], dict):
+                branches.append((if_p,
+                                 self._array_claims(frag["if"],
+                                                    f"{sp}/if")))
+            for arm, taken in (("then", True), ("else", False)):
+                a = frag.get(arm)
+                if not isinstance(a, dict):
+                    continue
+                arm_p = self._fragment_pred(a, f"{sp}/{arm}")
+
+                def gated(col, dt, _i=if_p, _a=arm_p, _t=taken):
+                    cond = _i(col, dt)
+                    return (cond if _t else ~cond) & _a(col, dt)
+
+                branches.append((gated,
+                                 self._array_claims(a, f"{sp}/{arm}")))
         return {"n_prefix": n_prefix, "all_items": all_items,
                 "contains": contains, "branches": tuple(branches)}
 

@@ -138,9 +138,10 @@ def test_columnar_plan_stays_jvm_side(spark):
 
 
 def test_columnar_unsupported_raises(spark):
-    # root unevaluatedProperties is columnar-lowerable since r4; a root
-    # dependentSchemas still routes to the interpreter
+    # root unevaluatedProperties and dependentSchemas are
+    # columnar-lowerable since r4; a root $ref still routes to the
+    # Arrow interpreter
     with pytest.raises(Exception) as ei:
-        ColumnarValidator({"dependentSchemas":
-                           {"a": {"properties": {"b": {}}}}})
-    assert "dependentSchemas" in str(ei.value)
+        ColumnarValidator({"$ref": "#/definitions/x",
+                           "definitions": {"x": {"type": "object"}}})
+    assert "$ref" in str(ei.value)

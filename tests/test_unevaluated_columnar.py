@@ -247,8 +247,8 @@ def test_items_schema_claims_everything(spark):
 
 @pytest.mark.parametrize("frag", [
     {"$ref": "#/$defs/x", "unevaluatedProperties": False},
-    {"if": {"required": ["a"]}, "then": {"properties": {"b": {}}},
-     "unevaluatedProperties": False},
+    # dependentSchemas is modeled at ROOT level only; at property
+    # level its claims still route to the interp
     {"dependentSchemas": {"a": {"properties": {"b": {}}}},
      "unevaluatedProperties": False},
     {"anyOf": [{"properties": {"a": {}},
@@ -260,6 +260,61 @@ def test_unsupported_claims_route_to_interp(frag):
         ColumnarValidator({"$schema": D2020,
                            "$defs": {"x": {"properties": {"a": {}}}},
                            "properties": {"obj": frag}})
+
+
+def test_property_if_then_else_parity(spark):
+    """Property-level if/then/else is columnar-lowered since r4 —
+    verdict parity with the interp over struct columns, including its
+    claims feeding unevaluatedProperties."""
+    mismatches = []
+    for pol in _POLICIES:
+        schema = {"$schema": D2020, "properties": {"obj": {
+            "if": {"properties": {"a": {"maxLength": 1}},
+                   "required": ["a"]},
+            "then": {"properties": {"b": {}}},
+            "else": {"properties": {"c": {}}},
+            "unevaluatedProperties": _POLICIES[pol],
+        }}}
+        cv = ColumnarValidator(schema)
+        rows = [(tuple(doc[k] for k in "abcd"),) for doc in _DOCS]
+        df = spark.createDataFrame(rows, _STRUCT)
+        got = cv.apply(df).collect()
+        docs = [{"obj": {k: v for k, v in doc.items()
+                         if v is not None}} for doc in _DOCS]
+        exp = _interp_results(schema, docs)
+        for doc, r, (evalid, _) in zip(docs, got, exp):
+            if bool(r["valid"]) != evalid:
+                mismatches.append(f"{pol} {doc['obj']}: "
+                                  f"columnar={bool(r['valid'])} "
+                                  f"interp={evalid}")
+    assert not mismatches, "\n".join(mismatches[:10])
+
+
+def test_root_dependent_schemas_parity(spark):
+    """Root dependentSchemas is columnar-lowered since r4 — verdicts
+    and its claims for root unevaluatedProperties match the interp."""
+    mismatches = []
+    for pol in _POLICIES:
+        schema = {"$schema": D2020,
+                  "properties": {"a": {"type": "string"}},
+                  "dependentSchemas": {
+                      "a": {"properties": {"b": {"minLength": 2}},
+                            "required": ["b"]}},
+                  "unevaluatedProperties": _POLICIES[pol]}
+        cv = ColumnarValidator(schema)
+        rows = [tuple(doc[k] for k in "abcd") for doc in _DOCS]
+        df = spark.createDataFrame(
+            rows, "a string, b string, c string, d string")
+        got = cv.apply(df).collect()
+        docs = [{k: v for k, v in doc.items() if v is not None}
+                for doc in _DOCS]
+        exp = _interp_results(schema, docs)
+        for doc, r, (evalid, _) in zip(docs, got, exp):
+            if bool(r["valid"]) != evalid:
+                mismatches.append(f"{pol} {doc}: "
+                                  f"columnar={bool(r['valid'])} "
+                                  f"interp={evalid}")
+    assert not mismatches, "\n".join(mismatches[:10])
 
 
 def test_unevaluated_plan_is_jvm_only(spark):
