@@ -683,6 +683,14 @@ CPU — host steal, corroborated by the same-window md5 baseline.
 |---|---|---|---|---|---|---|
 {attr_rows}
 
+Good-window attempts show flat utilization and work ratio ~1.0-1.16 —
+no engine-attributable loss.  Occasional low-efficiency attempts show
+an INFLATED work ratio (>1.3) with a NORMAL same-window md5 baseline:
+executor CPU cycles genuinely burned waiting on memory — host
+memory-bandwidth contention windows that the integer-hash baseline
+cannot sense.  The attribution makes those windows identifiable
+per-attempt instead of silently polluting the median.
+
 ## Accumulated cluster-mode distribution (bench_history.json)
 
 Across **all {report['historical_attempts']} paired cluster-mode
