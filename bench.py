@@ -111,11 +111,12 @@ def run_bench() -> dict:
         "text_langid_documents", "fingerprint_documents",
         "multimodal_features", "hll_stats_events",
     ]
-    # round-3 additions: timed and reported per-query, summed separately
+    # round-3/4 additions: timed and reported per-query, summed
+    # separately so `value` stays comparable with BENCH_r01/r02
     new_ops = [
         "minhash_pairs_fast", "multimodal_image_headers",
         "val_content_documents", "val_recursive_ref",
-        "dedup_embedding_lsh",
+        "dedup_embedding_lsh", "val_unevaluated_events",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
