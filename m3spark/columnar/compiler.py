@@ -316,7 +316,8 @@ class ColumnarValidator:
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
         "required", "additionalProperties", "title", "description",
         "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
-        "dependentRequired", "dependentSchemas", "unevaluatedProperties",
+        "dependentRequired", "dependentSchemas", "dependencies",
+        "unevaluatedProperties",
     }
 
     _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
@@ -399,6 +400,41 @@ class ColumnarValidator:
                 self._row_check(
                     "dependentRequired", f"{sp}/dependentRequired/{key}",
                     f"property {key!r} requires {list(needs)!r}", build_dep)
+        # pre-2019 spelling: `dependencies` carries BOTH forms (array =
+        # required-keys, dict/bool = schema); removed in 2019-09 where
+        # the split keywords take over (interp keyword-table parity)
+        deps = schema.get("dependencies")
+        if isinstance(deps, dict) and not _ge(self.draft, D2019):
+            for key, v in deps.items():
+                dsp = f"{sp}/dependencies/{key}"
+                if isinstance(v, list) or isinstance(v, str):
+                    needs = [v] if isinstance(v, str) else v
+
+                    def build_da(_col, dtypes, _k=key, _n=tuple(needs)):
+                        present = F.col(_k).isNotNull() if _k in dtypes \
+                            else F.lit(False)
+                        all_there = _reduce_and(
+                            [F.col(x).isNotNull() if x in dtypes
+                             else F.lit(False) for x in _n])
+                        return F.when(present, all_there) \
+                                .otherwise(F.lit(True))
+
+                    self._row_check("dependencies", dsp,
+                                    f"property {key!r} requires "
+                                    f"{list(needs)!r}", build_da)
+                elif isinstance(v, (dict, bool)):
+                    pred = self._row_pred(v, dsp)
+
+                    def build_dv(_col, dtypes, _k=key, _p=pred):
+                        trig = F.col(_k).isNotNull() if _k in dtypes \
+                            else F.lit(False)
+                        return F.when(trig,
+                                      _p(dtypes).eqNullSafe(True)) \
+                                .otherwise(F.lit(True))
+
+                    self._row_check("dependencies", dsp,
+                                    f"dependency schema for {key!r} "
+                                    f"failed", build_dv)
         dsch = schema.get("dependentSchemas")
         if isinstance(dsch, dict) and _ge(self.draft, D2019):
             for key, s in dsch.items():

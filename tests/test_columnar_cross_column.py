@@ -84,3 +84,39 @@ def test_root_oneof_and_not(spark):
     got = [r["valid"] for r in cv.apply(df).collect()]
     # one of a/b present: ok; both: oneOf+not fail; neither: oneOf fails
     assert got == [True, True, False, False]
+
+
+def test_root_dependencies_draft7_parity(spark):
+    """Pre-2019 `dependencies` at root: array form (required keys) and
+    schema form, columnar vs interp; ignored as unknown in 2019+."""
+    from m3spark.schema.core import compile_schema
+
+    D7 = "http://json-schema.org/draft-07/schema#"
+    D20 = "https://json-schema.org/draft/2020-12/schema"
+    schema = {"$schema": D7,
+              "dependencies": {
+                  "a": ["b"],
+                  "c": {"properties": {"b": {"minLength": 2}},
+                        "required": ["b"]}}}
+    cv = ColumnarValidator(schema)
+    docs = [
+        (None, None, None), ("x", None, None), ("x", "yy", None),
+        (None, None, "z"), (None, "yy", "z"), (None, "y", "z"),
+        ("x", "yy", "z"),
+    ]
+    df = spark.createDataFrame(docs, "a string, b string, c string")
+    got = cv.apply(df).collect()
+    cs = compile_schema(schema)
+    for (a, b, c), r in zip(docs, got):
+        doc = {k: v for k, v in (("a", a), ("b", b), ("c", c))
+               if v is not None}
+        assert bool(r["valid"]) == cs.validate(doc).valid, (doc, r)
+
+    # 2019+: dependencies is an unknown annotation in both engines
+    schema20 = dict(schema, **{"$schema": D20})
+    cv20 = ColumnarValidator(schema20)
+    cs20 = compile_schema(schema20)
+    r = cv20.apply(spark.createDataFrame([("x", None, None)],
+                                         "a string, b string, c string")
+                   ).collect()[0]
+    assert bool(r["valid"]) and cs20.validate({"a": "x"}).valid
