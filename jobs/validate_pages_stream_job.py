@@ -35,6 +35,7 @@ import json
 import sys
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -167,7 +168,12 @@ def main(argv=None):
                             args.checkpoint,
                             args.max_files_per_trigger,
                             watermark=args.watermark)
-    n_viol = spark.read.parquet(f"{args.output}/violations").count()
+    # the sink directory only exists if some batch wrote invalid rows;
+    # an all-valid (or empty) input is a success with 0 violations
+    try:
+        n_viol = spark.read.parquet(f"{args.output}/violations").count()
+    except AnalysisException:
+        n_viol = 0
     summary["violation_rows"] = n_viol
     print(json.dumps(summary))
     spark.stop()

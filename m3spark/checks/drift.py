@@ -81,9 +81,13 @@ def ks_statistic(baseline: dict, current: dict) -> float:
 def psi_from_counts(counts: DataFrame, a: str = "c_a", b: str = "c_b",
                     eps: float | None = None) -> DataFrame:
     """PSI from a bucket-count table with current (``a``) and baseline
-    (``b``) count columns → one row (psi double).  ``eps`` clamps empty
-    buckets (needed when the two snapshots can have disjoint support);
-    None reproduces the exact unclamped sum."""
+    (``b``) count columns → one row (psi double).  ``eps`` clamps EVERY
+    bucket proportion from below (needed when the two snapshots can have
+    disjoint support).  ``eps=None`` keeps nonzero proportions exact
+    (oracle-reproducible in plain SQL) but still floors exact-zero
+    proportions at 1e-6 and clamps an all-empty side's total with
+    greatest(total, 1) — a disjoint-support bucket therefore yields a
+    large finite PSI term, not an unclamped/NULL sum."""
     # greatest(total, 1) mirrors the driver-side psi()'s `or 1` clamp so
     # an all-empty side yields a finite PSI, not NULL via 0-division
     tot = counts.agg(F.greatest(F.sum(a), F.lit(1)).alias("t_a"),

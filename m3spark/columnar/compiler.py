@@ -336,6 +336,39 @@ class ColumnarValidator:
         if isinstance(props, dict):
             for name, sub in props.items():
                 self._compile_property(name, sub, f"{sp}/properties/{name}")
+        # root-level additionalProperties over the FLAT table: a column
+        # not named by the adjacent `properties` is an "additional"
+        # property — present (non-NULL) values must be allowed / satisfy
+        # the AP schema.  This also makes every branch predicate built
+        # via _row_pred enforce AP, which is what lets _root_claims map
+        # `additionalProperties` to an all_keys claim soundly (the claim
+        # only counts when the branch — including its AP check —
+        # succeeds).
+        ap = schema.get("additionalProperties")
+        if isinstance(ap, (dict, bool)) and ap is not True and ap != {}:
+            named = frozenset(props) if isinstance(props, dict) else \
+                frozenset()
+            ab = () if ap is False else self._error_builders(
+                ap, f"{sp}/additionalProperties")
+
+            def build_ap_root(_col, dtypes, _n=named, _b=ab,
+                              _false=ap is False):
+                oks = []
+                for cname, cdt in dtypes.items():
+                    if cname in _n:
+                        continue
+                    v = F.col(cname)
+                    if _false:
+                        oks.append(v.isNull())
+                    elif _b:
+                        oks.append(v.isNull() | _reduce_and(
+                            [bb(v, cdt).eqNullSafe(True) for bb in _b]))
+                return _reduce_and(oks)
+
+            self._row_check(
+                "additionalProperties", f"{sp}/additionalProperties",
+                "additional properties are not allowed" if ap is False
+                else "additional property violates schema", build_ap_root)
         # root-level cross-column applicators (SURVEY §2.7: the "set ops"
         # over row predicates — when(if_pred, then_pred) etc.)
         allof = schema.get("allOf")
@@ -423,7 +456,10 @@ class ColumnarValidator:
                                     f"property {key!r} requires "
                                     f"{list(needs)!r}", build_da)
                 elif isinstance(v, (dict, bool)):
-                    pred = self._row_pred(v, dsp)
+                    # errors_only: warnings never fail an in-place
+                    # applicator (interp c_dependent_schemas propagates
+                    # them as warnings, not as dependency failures)
+                    pred = self._row_pred(v, dsp, errors_only=True)
 
                     def build_dv(_col, dtypes, _k=key, _p=pred):
                         trig = F.col(_k).isNotNull() if _k in dtypes \
@@ -440,7 +476,11 @@ class ColumnarValidator:
             for key, s in dsch.items():
                 if not isinstance(s, (dict, bool)):
                     continue
-                pred = self._row_pred(s, f"{sp}/dependentSchemas/{key}")
+                # errors_only matches the claims path (line ~560) and the
+                # interpreter: a warning inside the dependent schema must
+                # not fail the dependency
+                pred = self._row_pred(s, f"{sp}/dependentSchemas/{key}",
+                                      errors_only=True)
 
                 def build_ds(_col, dtypes, _k=key, _p=pred):
                     trig = F.col(_k).isNotNull() if _k in dtypes \
