@@ -55,6 +55,30 @@ EVENT_PROPS_SCHEMA = {
 }
 
 
+# $defs-reusing schema (SURVEY §2.8): every $ref here is acyclic and
+# local, so inline_local_refs expands it on the driver and the whole
+# plan stays pure-JVM columnar — including the chained ref
+# (priorityCode -> code) and the 2020-12 sibling meld on o_totalprice
+REF_DEFS_ORDERS_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$defs": {
+        "posNumber": {"type": "number", "minimum": 0},
+        "code": {"type": "string", "minLength": 1, "maxLength": 16},
+        "priorityCode": {"$ref": "#/$defs/code",
+                         "pattern": "^[1-5]-[A-Z]+$"},
+    },
+    "required": ["o_orderkey", "o_orderstatus"],
+    "properties": {
+        "o_orderkey": {"$ref": "#/$defs/posNumber"},
+        "o_custkey": {"$ref": "#/$defs/posNumber"},
+        "o_totalprice": {"$ref": "#/$defs/posNumber", "maximum": 400000},
+        "o_orderstatus": {"$ref": "#/$defs/code",
+                          "enum": ["O", "F", "P"]},
+        "o_orderpriority": {"$ref": "#/$defs/priorityCode"},
+    },
+}
+
+
 CONTENT_SCHEMA = {
     "$schema": "https://json-schema.org/draft/2019-09/schema",
     "properties": {
@@ -190,6 +214,19 @@ def q_val_orders_conditional(spark, sf_dir):
         "else": {"properties": {"o_totalprice": {"minimum": 2000}}},
         "dependentRequired": {"o_orderpriority": ["o_custkey"]},
     }, format_assertion=True)
+    return cv.apply(orders).select("o_orderkey", "valid")
+
+
+def q_val_ref_defs_orders(spark, sf_dir):
+    """$defs-reusing schema over the flat orders table, compiled to
+    pure-JVM columnar via eager driver-side $ref inlining
+    (m3spark/columnar/inline.py; reference semantics ref.cljc:133-151,
+    property.cljc:227-295 — 2020-12 melds ref with siblings, chained
+    refs expand transitively)."""
+    from m3spark.columnar import ColumnarValidator
+
+    orders = _t(spark, sf_dir, "orders")
+    cv = ColumnarValidator(REF_DEFS_ORDERS_SCHEMA, format_assertion=True)
     return cv.apply(orders).select("o_orderkey", "valid")
 
 
@@ -718,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_events_props": q_val_events_props,
         "val_events_props_struct": q_val_events_props_struct,
         "val_orders_conditional": q_val_orders_conditional,
+        "val_ref_defs_orders": q_val_ref_defs_orders,
         "val_unevaluated_events": q_val_unevaluated_events,
         "val_content_documents": q_val_content_documents,
         "val_recursive_ref": q_val_recursive_ref,
@@ -848,6 +886,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE COALESCE(o_totalprice >= 2000, TRUE) END
                     AND (o_orderpriority IS NULL
                          OR o_custkey IS NOT NULL)) AS valid
+            FROM orders
+        """,
+        # $defs inlining: each ref'd fragment re-expressed inline;
+        # NULL column = missing property (passes all but required)
+        "val_ref_defs_orders": """
+            SELECT o_orderkey,
+                   (o_orderkey IS NOT NULL
+                    AND o_orderstatus IS NOT NULL
+                    AND COALESCE(o_orderkey >= 0, TRUE)
+                    AND COALESCE(o_custkey >= 0, TRUE)
+                    AND COALESCE(o_totalprice >= 0
+                                 AND o_totalprice <= 400000, TRUE)
+                    AND COALESCE(length(o_orderstatus) BETWEEN 1 AND 16
+                                 AND o_orderstatus IN ('O', 'F', 'P'),
+                                 TRUE)
+                    AND COALESCE(length(o_orderpriority)
+                                   BETWEEN 1 AND 16
+                                 AND regexp_matches(o_orderpriority,
+                                     '^[1-5]-[A-Z]+$'), TRUE)) AS valid
             FROM orders
         """,
         # content-keyword battery: the oracle predicts each violation

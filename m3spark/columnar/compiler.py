@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from m3spark.columnar.inline import inline_local_refs
 from m3spark.schema.core import (
     DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, _ge, draft_of,
     meta_validate_schema,
@@ -287,7 +288,12 @@ class ColumnarValidator:
             self._add(self._ROW_CHECK, "$schema", "", msg, "error",
                       lambda col, dtypes: F.lit(False), null_passes=False)
             return
-        self._compile_root(schema)
+        # eager driver-side $ref/$defs inlining (SURVEY §2.8): acyclic
+        # local refs expand before compilation so the common reuse idiom
+        # stays pure JVM; anything the inliner can't do safely (external
+        # refs, $dynamicRef/$recursiveRef, cycles) keeps the original
+        # schema and routes to the interp via UnsupportedKeyword below
+        self._compile_root(inline_local_refs(schema, self.draft))
         if strict and self.unsupported:
             raise UnsupportedKeyword(
                 f"columnar compiler cannot lower: {self.unsupported}; "
@@ -311,13 +317,16 @@ class ColumnarValidator:
         "contentEncoding", "contentMediaType", "contentSchema",
         "unevaluatedProperties", "unevaluatedItems",
         "if", "then", "else",
+        "dependentRequired", "dependentSchemas", "dependencies",
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
-        "required", "additionalProperties", "title", "description",
+        "required", "additionalProperties", "patternProperties",
+        "propertyNames", "minProperties", "maxProperties",
+        "title", "description",
         "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
         "dependentRequired", "dependentSchemas", "dependencies",
-        "unevaluatedProperties",
+        "unevaluatedProperties", "unevaluatedItems",
     }
 
     _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
@@ -344,6 +353,42 @@ class ColumnarValidator:
         # `additionalProperties` to an all_keys claim soundly (the claim
         # only counts when the branch — including its AP check —
         # succeeds).
+        # root-level patternProperties over the FLAT table: column names
+        # are static, so the ECMA match runs at compile/build time with
+        # the engine's own matcher (struct path does the same)
+        root_rx = [rx for _, rx in self._claim_patterns(schema)]
+        pp = schema.get("patternProperties")
+        if isinstance(pp, dict):
+            for pat, psch in pp.items():
+                if psch is True or psch == {}:
+                    continue
+                if not isinstance(psch, (dict, bool)):
+                    continue
+                try:
+                    from m3spark.schema.core import compile_ecma_pattern
+                    rx = compile_ecma_pattern(pat)
+                except Exception:
+                    continue  # ECMA-invalid: keyword ignored (c_pattern)
+                psp = f"{sp}/patternProperties/{pat}"
+                pb = ((lambda col, dt: F.lit(False),) if psch is False
+                      else self._error_builders(psch, psp))
+                if not pb:
+                    continue
+
+                def build_pp_root(_col, dtypes, _rx=rx, _b=tuple(pb)):
+                    oks = []
+                    for cname, cdt in dtypes.items():
+                        if not _rx.search(cname):
+                            continue
+                        v = F.col(cname)
+                        oks.append(v.isNull() | _reduce_and(
+                            [bb(v, cdt).eqNullSafe(True) for bb in _b]))
+                    return _reduce_and(oks)
+
+                self._row_check(
+                    "patternProperties", psp,
+                    f"value under key matching {pat!r} violates schema",
+                    build_pp_root)
         ap = schema.get("additionalProperties")
         if isinstance(ap, (dict, bool)) and ap is not True and ap != {}:
             named = frozenset(props) if isinstance(props, dict) else \
@@ -352,10 +397,10 @@ class ColumnarValidator:
                 ap, f"{sp}/additionalProperties")
 
             def build_ap_root(_col, dtypes, _n=named, _b=ab,
-                              _false=ap is False):
+                              _rx=tuple(root_rx), _false=ap is False):
                 oks = []
                 for cname, cdt in dtypes.items():
-                    if cname in _n:
+                    if cname in _n or any(rx.search(cname) for rx in _rx):
                         continue
                     v = F.col(cname)
                     if _false:
@@ -369,6 +414,45 @@ class ColumnarValidator:
                 "additionalProperties", f"{sp}/additionalProperties",
                 "additional properties are not allowed" if ap is False
                 else "additional property violates schema", build_ap_root)
+        # root propertyNames: names are the static column set; evaluate
+        # the name schema once per column on the DRIVER with the
+        # interpreter and fold the outcome to a literal per present column
+        pn = schema.get("propertyNames")
+        if isinstance(pn, (dict, bool)) and _ge(self.draft, DRAFT6) \
+                and pn is not True and pn != {}:
+            from m3spark.schema.core import CompiledSchema
+            pn_cs = None if pn is False else CompiledSchema(
+                pn, draft=self.draft,
+                format_assertion=self.format_assertion, meta_validate=False)
+
+            def build_pn_root(_col, dtypes, _cs=pn_cs):
+                oks = []
+                for cname in dtypes:
+                    ok = (False if _cs is None
+                          else _cs.validate(cname).valid)
+                    oks.append(F.col(cname).isNull() | F.lit(ok))
+                return _reduce_and(oks)
+
+            self._row_check("propertyNames", f"{sp}/propertyNames",
+                            "property name violates schema", build_pn_root)
+        for kw, cmp_ok in (("minProperties", lambda n, v: n >= v),
+                           ("maxProperties", lambda n, v: n <= v)):
+            v = schema.get(kw)
+            if isinstance(v, int) and not isinstance(v, bool):
+
+                def build_np_root(_col, dtypes, _v=v, _c=cmp_ok):
+                    n = None
+                    for cname in dtypes:
+                        x = F.when(F.col(cname).isNotNull(), 1).otherwise(0)
+                        n = x if n is None else n + x
+                    if n is None:
+                        n = F.lit(0)
+                    return _c(n, F.lit(_v))
+
+                self._row_check(
+                    kw, f"{sp}/{kw}",
+                    f"{'fewer' if kw == 'minProperties' else 'more'} than "
+                    f"{v} properties", build_np_root)
         # root-level cross-column applicators (SURVEY §2.7: the "set ops"
         # over row predicates — when(if_pred, then_pred) etc.)
         allof = schema.get("allOf")
@@ -503,9 +587,7 @@ class ColumnarValidator:
         if not isinstance(frag, dict):
             return {"names": (), "patterns": (), "all_keys": False,
                     "branches": ()}
-        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
-                  and k != "dependentSchemas"  # modeled below at root
-                  and not (top and k.startswith("unevaluated"))]
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE]
         if unsafe:
             self.unsupported.append(
                 f"{sp} (unevaluated* claim algebra cannot model "
@@ -571,8 +653,13 @@ class ColumnarValidator:
                     return trig & _p(dtypes).eqNullSafe(True)
 
                 branches.append((ds_gated, self._root_claims(s, dsp)))
+        # a nested (non-top) unevaluatedProperties evaluates every
+        # residual key itself, so a SUCCESSFUL branch carrying one has
+        # claimed the whole key set — same shape as additionalProperties
+        all_keys = "additionalProperties" in frag or (
+            not top and "unevaluatedProperties" in frag)
         return {"names": names, "patterns": self._claim_patterns(frag),
-                "all_keys": "additionalProperties" in frag,
+                "all_keys": all_keys,
                 "branches": tuple(branches)}
 
     def _root_claimed(self, claims, cname, dtypes):
@@ -793,6 +880,7 @@ class ColumnarValidator:
         self._compile_array_keywords(name, sub, sp)
         self._compile_struct_keywords(name, sub, sp)
         self._compile_map_keywords(name, sub, sp)
+        self._compile_dependent_keywords(name, sub, sp)
         if _ge(draft, D2019):
             self._compile_unevaluated_props(name, sub, sp)
             self._compile_unevaluated_items(name, sub, sp)
@@ -1258,6 +1346,76 @@ class ColumnarValidator:
                               "additional property violates schema",
                               "error", map_guard(build_ap))
 
+    @staticmethod
+    def _obj_present(col: Column, dt: T.DataType, k: str):
+        """Presence of key ``k`` in an object-typed column, or None when
+        the column isn't an object (dependent keywords then no-op)."""
+        if isinstance(dt, T.StructType):
+            return (col.getField(k).isNotNull()
+                    if k in dt.fieldNames() else F.lit(False))
+        if isinstance(dt, T.MapType):
+            return F.map_contains_key(col, F.lit(k))
+        return None
+
+    def _compile_dependent_keywords(self, name: str, sub: dict, sp: str):
+        """Property-level dependentRequired / dependentSchemas (2019+)
+        and the combined pre-2019 `dependencies` over struct/map columns
+        (interp parity: c_dependencies / c_dependent_required /
+        c_dependent_schemas; reference property.cljc:812-874)."""
+        draft = self.draft
+
+        def req_check(kw, key, needs, dsp):
+            def build(col, dt, _k=key, _n=tuple(needs)):
+                trig = self._obj_present(col, dt, _k)
+                if trig is None:
+                    return F.lit(True)
+                alln = _reduce_and(
+                    [self._obj_present(col, dt, n) for n in _n])
+                return F.when(trig, alln).otherwise(F.lit(True))
+            self._add(name, kw, dsp,
+                      f"property {key!r} requires {list(needs)!r}",
+                      "error", build)
+
+        def schema_check(kw, key, s, dsp):
+            # errors-only (in-place applicator branch semantics): a
+            # warning inside the dependent schema never fails it
+            pred = self._fragment_pred(s, dsp)
+
+            def build(col, dt, _k=key, _p=pred):
+                trig = self._obj_present(col, dt, _k)
+                if trig is None:
+                    return F.lit(True)
+                return F.when(trig, _p(col, dt).eqNullSafe(True)) \
+                        .otherwise(F.lit(True))
+            self._add(name, kw, dsp,
+                      f"dependent schema for {key!r} failed",
+                      "error", build)
+
+        dr = sub.get("dependentRequired")
+        if isinstance(dr, dict) and _ge(draft, D2019):
+            for k, needs in dr.items():
+                if isinstance(needs, list):
+                    req_check("dependentRequired", k,
+                              [x for x in needs if isinstance(x, str)],
+                              f"{sp}/dependentRequired/{k}")
+        ds = sub.get("dependentSchemas")
+        if isinstance(ds, dict) and _ge(draft, D2019):
+            for k, s in ds.items():
+                if isinstance(s, (dict, bool)):
+                    schema_check("dependentSchemas", k, s,
+                                 f"{sp}/dependentSchemas/{k}")
+        deps = sub.get("dependencies")
+        if isinstance(deps, dict) and not _ge(draft, D2019):
+            for k, v in deps.items():
+                dsp = f"{sp}/dependencies/{k}"
+                if isinstance(v, str):
+                    req_check("dependencies", k, [v], dsp)
+                elif isinstance(v, list):
+                    req_check("dependencies", k,
+                              [x for x in v if isinstance(x, str)], dsp)
+                elif isinstance(v, (dict, bool)):
+                    schema_check("dependencies", k, v, dsp)
+
     def _compile_struct_keywords(self, name: str, sub: dict, sp: str):
         """Object keywords over typed struct columns: per-field predicate
         via getField (m3 analog: property.cljc:992-1052; SURVEY §2.4)."""
@@ -1391,17 +1549,24 @@ class ColumnarValidator:
     # (property.cljc:268-293, 1083-1095) and the spec-derived mini-model
     # in tests/test_unevaluated_matrix.py: adjacent
     # properties/patternProperties/additionalProperties claim
-    # unconditionally; allOf/anyOf/oneOf branches claim only when that
-    # branch individually succeeds (errors only — warnings never fail a
-    # branch).  Fragments carrying applicators whose claims this algebra
-    # cannot model ($ref, if/then/else at property level,
-    # dependentSchemas, nested unevaluated*) route to the Arrow interp
-    # via UnsupportedKeyword, the compiler's standing escape hatch.
+    # unconditionally; allOf/anyOf/oneOf + if/then/else +
+    # dependentSchemas branches claim only when that branch individually
+    # succeeds (errors only — warnings never fail a branch); a branch
+    # carrying its own nested unevaluatedProperties/unevaluatedItems
+    # claims EVERYTHING on success (the nested keyword evaluates every
+    # residual key/item itself); 2019+ `dependencies` is not a keyword
+    # (interp drops it from the table) so it neither validates nor
+    # claims.  Acyclic local $ref is gone before compilation
+    # (inline_local_refs).  Only applicators this algebra genuinely
+    # cannot model statically still route to the Arrow interp via
+    # UnsupportedKeyword, the compiler's standing escape hatch:
+    # non-inlinable refs ($ref left by a cycle or external target,
+    # $dynamicRef, $recursiveRef), draft-3 extends, and draft-next
+    # propertyDependencies.
 
     _CLAIM_UNSAFE = frozenset({
-        "$ref", "$dynamicRef", "$recursiveRef", "dependentSchemas",
-        "dependencies", "propertyDependencies", "extends",
-        "unevaluatedProperties", "unevaluatedItems",
+        "$ref", "$dynamicRef", "$recursiveRef",
+        "propertyDependencies", "extends",
     })
 
     def _claim_patterns(self, frag):
@@ -1430,8 +1595,7 @@ class ColumnarValidator:
         if not isinstance(frag, dict):
             return {"names": (), "patterns": (), "all_keys": False,
                     "branches": ()}
-        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
-                  and not (top and k.startswith("unevaluated"))]
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE]
         if unsafe:
             self.unsupported.append(
                 f"{sp} (unevaluated* claim algebra cannot model "
@@ -1483,8 +1647,28 @@ class ColumnarValidator:
 
                 branches.append((gated, self._object_claims(
                     a, name, f"{sp}/{arm}")))
+        # dependentSchemas claims (c_dependent_schemas parity): the
+        # dependent schema contributes on (key present AND it succeeds)
+        ds = frag.get("dependentSchemas")
+        if isinstance(ds, dict) and _ge(self.draft, D2019):
+            for k, s in ds.items():
+                if not isinstance(s, dict) or s == {}:
+                    continue  # bool/empty: claims nothing
+                dsp = f"{sp}/dependentSchemas/{k}"
+                s_pred = self._fragment_pred(s, dsp)
+
+                def ds_gated(col, dt, _k=k, _p=s_pred):
+                    trig = self._obj_present(col, dt, _k)
+                    if trig is None:
+                        return F.lit(False)
+                    return trig & _p(col, dt).eqNullSafe(True)
+
+                branches.append((ds_gated,
+                                 self._object_claims(s, name, dsp)))
+        all_keys = "additionalProperties" in frag or (
+            not top and "unevaluatedProperties" in frag)
         return {"names": names, "patterns": self._claim_patterns(frag),
-                "all_keys": "additionalProperties" in frag,
+                "all_keys": all_keys,
                 "branches": tuple(branches)}
 
     @staticmethod
@@ -1640,8 +1824,7 @@ class ColumnarValidator:
         if not isinstance(frag, dict):
             return {"n_prefix": 0, "all_items": False, "contains": None,
                     "branches": ()}
-        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE
-                  and not (top and k.startswith("unevaluated"))]
+        unsafe = [k for k in frag if k in self._CLAIM_UNSAFE]
         if unsafe:
             self.unsupported.append(
                 f"{sp} (unevaluated* claim algebra cannot model "
@@ -1655,10 +1838,13 @@ class ColumnarValidator:
             items if isinstance(items, list) else None)
         n_prefix = len(prefix) if isinstance(prefix, list) else 0
         # schema-form items evaluates every element; tuple-form plus
-        # additionalItems (<=2019) likewise claims the whole array
+        # additionalItems (<=2019) likewise claims the whole array; a
+        # nested (non-top) unevaluatedItems evaluates every residual
+        # element itself, so on branch success the whole array is claimed
         all_items = isinstance(items, (dict, bool)) or (
             not is2020 and isinstance(items, list)
-            and isinstance(frag.get("additionalItems"), (dict, bool)))
+            and isinstance(frag.get("additionalItems"), (dict, bool))) or (
+            not top and "unevaluatedItems" in frag)
         contains = None
         if is2020 and isinstance(frag.get("contains"), (dict, bool)):
             contains = self._error_builders(frag["contains"],

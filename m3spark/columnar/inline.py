@@ -1,0 +1,276 @@
+"""Driver-side eager ``$ref``/``$defs`` inlining for the columnar
+compiler (SURVEY §2.8 "eager driver-side inlining with cycle
+detection").
+
+The most common schema idiom — a document reusing fragments via
+``$defs``/``definitions`` and local ``$ref`` — previously routed the
+whole query to the Arrow interpreter because the Column-expression
+compiler cannot follow references at plan-build time.  This pre-pass
+expands acyclic LOCAL references once on the driver, so the compiled
+plan stays pure JVM.
+
+Draft semantics mirror the reference engine:
+
+- drafts <= 7: ``$ref`` REPLACES its siblings — the node becomes the
+  resolved target (reference property.cljc:227-246, ref.cljc:133-140);
+- 2019-09+: ``$ref`` MELDS with its siblings — the node becomes
+  ``{"allOf": [target], **siblings}`` (property.cljc:247-295,
+  ref.cljc:141-151).  Representing the melded ref as an ``allOf``
+  branch is annotation-exact for the unevaluated* claim algebra: a
+  ``$ref``'s annotations flow to the parent schema exactly when the
+  referenced schema succeeds, which is precisely the compiler's
+  branch-claim rule (annotation-scope isolation,
+  property.cljc:268-293).
+
+The transform is conservative — it returns the ORIGINAL schema
+untouched (so the compiler's standing ``UnsupportedKeyword`` escape
+hatch routes it to the interpreter) whenever it sees:
+
+- an external / non-fragment reference (``$ref`` not starting ``#``);
+- ``$dynamicRef`` / ``$recursiveRef`` anywhere (dynamic scope cannot
+  be resolved statically);
+- a nested ``$id``/``id`` that changes the base URI (non-fragment
+  value below the root), which would alter pointer resolution;
+- a reference cycle (recursive schemas keep their interp route);
+- expansion beyond a node budget (diamond-DAG blow-up guard).
+
+Only the tree positions that hold schemas are rewritten — literal
+values under ``enum`` / ``const`` / ``default`` / ``examples`` are
+copied verbatim, so data that merely *looks* like a ``$ref`` object is
+never touched.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import unquote
+
+from m3spark.schema.core import DRAFT3, DRAFT4, D2019, _ge
+
+__all__ = ["inline_local_refs"]
+
+# keys whose value is one schema (or draft-dependent single-schema form)
+_SINGLE_SCHEMA_KEYS = (
+    "additionalItems", "additionalProperties", "contains", "propertyNames",
+    "not", "if", "then", "else", "unevaluatedItems",
+    "unevaluatedProperties", "contentSchema",
+)
+# keys whose value is a map name -> schema
+_MAP_SCHEMA_KEYS = ("properties", "patternProperties", "$defs",
+                    "definitions", "dependentSchemas")
+# keys whose value is a list of schemas
+_LIST_SCHEMA_KEYS = ("allOf", "anyOf", "oneOf", "prefixItems")
+
+# inert after successful inlining: definition containers and anchors
+# (anchors matter only to refs, which no longer exist; dynamic anchors
+# matter only to $dynamicRef/$recursiveRef, whose presence aborts the
+# whole transform)
+_STRIP_KEYS = frozenset({"$defs", "definitions", "$anchor",
+                         "$dynamicAnchor", "$recursiveAnchor"})
+
+_NODE_BUDGET = 20_000
+
+
+class _GiveUp(Exception):
+    """Transform cannot be done safely; caller keeps the original."""
+
+
+def inline_local_refs(schema, draft: str):
+    """Return ``schema`` with every local ``$ref`` eagerly expanded, or
+    ``schema`` unchanged if any reference cannot be inlined safely."""
+    if not isinstance(schema, dict):
+        return schema
+    try:
+        if not _contains_ref(schema):
+            return schema
+        return _Inliner(schema, draft).run()
+    except _GiveUp:
+        return schema
+
+
+def _contains_ref(node) -> bool:
+    """Cheap structural scan: does any schema position carry a ref-family
+    keyword?  (Walks every dict/list — over-approximate on purpose; the
+    real transform is schema-position-aware.)"""
+    if isinstance(node, dict):
+        if any(k in node for k in ("$ref", "$dynamicRef", "$recursiveRef")):
+            return True
+        return any(_contains_ref(v) for v in node.values())
+    if isinstance(node, list):
+        return any(_contains_ref(x) for x in node)
+    return False
+
+
+class _Inliner:
+    def __init__(self, root: dict, draft: str):
+        self.root = root
+        self.draft = draft
+        self.meld = _ge(draft, D2019)
+        self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
+        self.anchors: dict[str, object] = {}
+        self.budget = _NODE_BUDGET
+        self._scan(root, top=True)
+
+    # -- pre-scan: feasibility + anchor table ---------------------------
+
+    def _scan(self, node, top=False):
+        """Abort on dynamic refs / base-URI changes; collect anchors."""
+        if isinstance(node, list):
+            for x in node:
+                self._scan(x)
+            return
+        if not isinstance(node, dict):
+            return
+        if "$dynamicRef" in node or "$recursiveRef" in node:
+            raise _GiveUp("dynamic/recursive ref")
+        r = node.get("$ref")
+        if r is not None and (not isinstance(r, str)
+                              or not r.startswith("#")):
+            raise _GiveUp("external ref")
+        iv = node.get(self.id_key)
+        if isinstance(iv, str) and iv:
+            if iv.startswith("#"):
+                self._add_anchor(iv[1:], node)
+            elif not top:
+                raise _GiveUp("nested base-URI change")
+        av = node.get("$anchor")
+        if isinstance(av, str) and _ge(self.draft, D2019):
+            self._add_anchor(av, node)
+        # structural walk mirrors the transform's schema positions
+        for k in _SINGLE_SCHEMA_KEYS:
+            if k in node:
+                self._scan(node[k])
+        for k in _MAP_SCHEMA_KEYS:
+            v = node.get(k)
+            if isinstance(v, dict):
+                for s in v.values():
+                    self._scan(s)
+        for k in _LIST_SCHEMA_KEYS:
+            v = node.get(k)
+            if isinstance(v, list):
+                for s in v:
+                    self._scan(s)
+        items = node.get("items")
+        if isinstance(items, list):
+            for s in items:
+                self._scan(s)
+        else:
+            self._scan(items)
+        ext = node.get("extends")
+        if isinstance(ext, list):
+            for s in ext:
+                self._scan(s)
+        elif ext is not None:
+            self._scan(ext)
+        deps = node.get("dependencies")
+        if isinstance(deps, dict):
+            for v in deps.values():
+                if isinstance(v, (dict, bool)):
+                    self._scan(v)
+        pd = node.get("propertyDependencies")
+        if isinstance(pd, dict):
+            for m in pd.values():
+                if isinstance(m, dict):
+                    for s in m.values():
+                        self._scan(s)
+
+    def _add_anchor(self, name: str, node):
+        if name in self.anchors:
+            raise _GiveUp(f"duplicate anchor {name!r}")
+        self.anchors[name] = node
+
+    # -- resolution -----------------------------------------------------
+
+    def _resolve(self, ref: str):
+        """'#...' -> (raw target node, cycle key)."""
+        frag = unquote(ref[1:])
+        if frag == "":
+            return self.root, "#"
+        if frag.startswith("/"):
+            node = self.root
+            for tok in frag[1:].split("/"):
+                tok = tok.replace("~1", "/").replace("~0", "~")
+                if isinstance(node, dict) and tok in node:
+                    node = node[tok]
+                elif isinstance(node, list) and tok.isdigit() \
+                        and int(tok) < len(node):
+                    node = node[int(tok)]
+                else:
+                    raise _GiveUp(f"unresolvable pointer {ref!r}")
+            return node, f"#{frag}"
+        if frag in self.anchors:
+            return self.anchors[frag], f"#anchor:{frag}"
+        raise _GiveUp(f"unresolvable anchor {ref!r}")
+
+    # -- transform ------------------------------------------------------
+
+    def run(self):
+        return self._schema(self.root, frozenset(), top=True)
+
+    def _spend(self):
+        self.budget -= 1
+        if self.budget <= 0:
+            raise _GiveUp("expansion budget exceeded")
+
+    def _schema(self, node, stack: frozenset, top=False):
+        if isinstance(node, bool) or node is None:
+            return node
+        if not isinstance(node, dict):
+            return node
+        self._spend()
+        r = node.get("$ref")
+        if isinstance(r, str):
+            target, key = self._resolve(r)
+            if key in stack:
+                raise _GiveUp(f"reference cycle through {r!r}")
+            expanded = self._schema(target, stack | {key})
+            if not self.meld:
+                # drafts <= 7: $ref replaces every sibling
+                return expanded
+            siblings = {k: v for k, v in node.items() if k != "$ref"}
+            if not siblings:
+                return expanded
+            out = self._plain(siblings, stack, top)
+            if expanded is True or expanded == {}:
+                return out
+            branches = list(out.get("allOf", []))
+            branches.append(expanded)
+            out["allOf"] = branches
+            return out
+        return self._plain(node, stack, top)
+
+    def _plain(self, node: dict, stack: frozenset, top=False):
+        out = {}
+        for k, v in node.items():
+            if k in _STRIP_KEYS:
+                continue
+            if k == self.id_key and isinstance(v, str) \
+                    and v.startswith("#") and not top:
+                continue  # inert anchor form of $id/id
+            if k in _SINGLE_SCHEMA_KEYS:
+                out[k] = self._schema(v, stack)
+            elif k in _MAP_SCHEMA_KEYS:
+                out[k] = ({n: self._schema(s, stack) for n, s in v.items()}
+                          if isinstance(v, dict) else v)
+            elif k in _LIST_SCHEMA_KEYS:
+                out[k] = ([self._schema(s, stack) for s in v]
+                          if isinstance(v, list) else v)
+            elif k == "items":
+                out[k] = ([self._schema(s, stack) for s in v]
+                          if isinstance(v, list)
+                          else self._schema(v, stack))
+            elif k == "extends":
+                out[k] = ([self._schema(s, stack) for s in v]
+                          if isinstance(v, list)
+                          else self._schema(v, stack))
+            elif k == "dependencies" and isinstance(v, dict):
+                out[k] = {n: (self._schema(s, stack)
+                              if isinstance(s, (dict, bool)) else s)
+                          for n, s in v.items()}
+            elif k == "propertyDependencies" and isinstance(v, dict):
+                out[k] = {p: ({sv: self._schema(s, stack)
+                               for sv, s in m.items()}
+                              if isinstance(m, dict) else m)
+                          for p, m in v.items()}
+            else:
+                out[k] = v
+        return out

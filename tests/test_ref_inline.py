@@ -1,0 +1,173 @@
+"""Eager $ref/$defs inlining in the columnar compiler (SURVEY §2.8):
+local acyclic refs compile to pure-JVM plans that agree with the Arrow
+interpreter; recursive/external/dynamic refs still route to the interp
+via UnsupportedKeyword.  Reference semantics: old-draft replace-siblings
+vs 2019+ meld (property.cljc:227-295, ref.cljc:133-151)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from m3spark.columnar import ColumnarValidator, UnsupportedKeyword
+from m3spark.sparkval import validate_json
+
+D7 = "http://json-schema.org/draft-07/schema#"
+D2019 = "https://json-schema.org/draft/2019-09/schema"
+D2020 = "https://json-schema.org/draft/2020-12/schema"
+
+
+def _parity(spark, schema, rows, ddl, names, **kw):
+    df = spark.createDataFrame(rows, ddl)
+    cv = ColumnarValidator(schema, **kw)
+    # the inlined plan must be pure JVM — no pandas-UDF stages
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got_col = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    docs = [json.dumps({k: v for k, v in zip(names, row) if v is not None})
+            for row in rows]
+    out = validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema, **kw)
+    got_interp = [r["valid"] for r in out.select("valid").collect()]
+    assert got_col == got_interp
+    return got_col
+
+
+def test_defs_reuse_flat_2020(spark):
+    schema = {
+        "$schema": D2020,
+        "$defs": {"pos": {"type": "integer", "minimum": 1},
+                  "short": {"type": "string", "maxLength": 3}},
+        "properties": {"a": {"$ref": "#/$defs/pos"},
+                       "b": {"$ref": "#/$defs/pos", "maximum": 10},
+                       "c": {"$ref": "#/$defs/short"}},
+    }
+    rows = [(2, 5, "ok"), (0, 5, "ok"), (2, 11, "ok"), (2, 5, "toolong"),
+            (None, None, None)]
+    got = _parity(spark, schema, rows, "a int, b int, c string",
+                  ("a", "b", "c"))
+    # b=11 fails the melded sibling maximum; b must also satisfy the ref
+    assert got == [True, False, False, False, True]
+
+
+def test_draft7_ref_replaces_siblings(spark):
+    # draft-7: the sibling maximum is IGNORED next to $ref
+    schema = {
+        "$schema": D7,
+        "definitions": {"pos": {"type": "integer", "minimum": 1}},
+        "properties": {"b": {"$ref": "#/definitions/pos", "maximum": 3}},
+    }
+    rows = [(2,), (99,), (0,)]
+    got = _parity(spark, schema, rows, "b int", ("b",))
+    assert got == [True, True, False]  # 99 valid: maximum dropped
+
+
+def test_ref_chain_and_anchor(spark):
+    schema = {
+        "$schema": D2020,
+        "$defs": {"a": {"$ref": "#/$defs/b"},
+                  "b": {"$anchor": "leaf", "type": "string",
+                        "minLength": 2},
+                  "c": {"$ref": "#leaf"}},
+        "properties": {"x": {"$ref": "#/$defs/a"},
+                       "y": {"$ref": "#/$defs/c"}},
+    }
+    rows = [("ab", "cd"), ("a", "cd"), ("ab", "c")]
+    got = _parity(spark, schema, rows, "x string, y string", ("x", "y"))
+    assert got == [True, False, False]
+
+
+def test_ref_branch_claims_unevaluated(spark):
+    """$ref claim contribution to the unevaluated* algebra: a oneOf
+    branch that is just a $ref claims (on success) whatever the ref'd
+    schema claims — annotation-scope isolation."""
+    schema = {
+        "$schema": D2019,
+        "$defs": {
+            "withA": {"properties": {"a": {"type": "integer"}},
+                      "required": ["a"]},
+            "withB": {"properties": {"b": {"type": "string"}},
+                      "required": ["b"]},
+        },
+        "oneOf": [{"$ref": "#/$defs/withA"}, {"$ref": "#/$defs/withB"}],
+        "unevaluatedProperties": False,
+    }
+    # (a only) ok; (b only) ok; (a,b) -> the succeeding branch claims
+    # only its own key, the other stays unevaluated -> invalid;
+    # () -> oneOf fails
+    rows = [(1, None), (None, "x"), (1, "x"), (None, None)]
+    got = _parity(spark, schema, rows, "a int, b string", ("a", "b"))
+    assert got == [True, True, False, False]
+
+
+def test_ref_meld_with_unevaluated(spark):
+    """2019+: {"$ref": X, "unevaluatedProperties": false} — claims from
+    inside the ref count for the adjacent unevaluatedProperties."""
+    schema = {
+        "$schema": D2019,
+        "$defs": {"base": {"properties": {"a": {"type": "integer"}}}},
+        "$ref": "#/$defs/base",
+        "properties": {"b": {"type": "string"}},
+        "unevaluatedProperties": False,
+    }
+    rows = [(1, "x", None), (1, "x", 2.0)]
+    got = _parity(spark, schema, rows, "a int, b string, c double",
+                  ("a", "b", "c"))
+    assert got == [True, False]
+
+
+def test_ref_inside_struct_column(spark):
+    schema = {
+        "$schema": D2020,
+        "$defs": {"name": {"type": "string", "minLength": 2}},
+        "properties": {
+            "meta": {"type": "object",
+                     "properties": {"author": {"$ref": "#/$defs/name"}},
+                     "required": ["author"]}},
+    }
+    df = spark.createDataFrame(
+        [(("ab",),), (("a",),), ((None,),)],
+        "meta struct<author: string>")
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    assert got == [True, False, False]
+
+
+def test_recursive_ref_routes_to_interp(spark):
+    schema = {
+        "$schema": D2020,
+        "$defs": {"node": {"properties": {"next": {"$ref": "#/$defs/node"}},
+                           "type": "object"}},
+        "properties": {"tree": {"$ref": "#/$defs/node"}},
+    }
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema)
+
+
+def test_external_ref_routes_to_interp(spark):
+    schema = {"properties": {"a": {"$ref": "https://example.com/s.json"}}}
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema)
+
+
+def test_dynamic_ref_routes_to_interp(spark):
+    schema = {
+        "$schema": D2020,
+        "$defs": {"x": {"$dynamicAnchor": "it", "type": "string"}},
+        "properties": {"a": {"$dynamicRef": "#it"}},
+    }
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema)
+
+
+def test_ref_in_dependent_schema(spark):
+    schema = {
+        "$schema": D2019,
+        "$defs": {"needsB": {"required": ["b"]}},
+        "dependentSchemas": {"a": {"$ref": "#/$defs/needsB"}},
+    }
+    rows = [(1, "x"), (1, None), (None, None)]
+    got = _parity(spark, schema, rows, "a int, b string", ("a", "b"))
+    assert got == [True, False, True]

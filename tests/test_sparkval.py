@@ -138,10 +138,10 @@ def test_columnar_plan_stays_jvm_side(spark):
 
 
 def test_columnar_unsupported_raises(spark):
-    # root unevaluatedProperties and dependentSchemas are
-    # columnar-lowerable since r4; a root $ref still routes to the
-    # Arrow interpreter
+    # acyclic local $ref is inlined since r5; a RECURSIVE ref still
+    # routes to the Arrow interpreter
     with pytest.raises(Exception) as ei:
         ColumnarValidator({"$ref": "#/definitions/x",
-                           "definitions": {"x": {"type": "object"}}})
+                           "definitions": {"x": {"properties": {
+                               "next": {"$ref": "#/definitions/x"}}}}})
     assert "$ref" in str(ei.value)

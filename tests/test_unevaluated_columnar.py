@@ -4,10 +4,13 @@ hard-part 1: static key-set algebra, `when(branch_ok, keys)` +
 on unevaluated*-violation presence for every (shape x policy x doc)
 cell — over struct columns, map columns, the flat root table, and
 array columns.  Shapes mirror tests/test_unevaluated_matrix.py's
-evaluator alphabet restricted to the applicators the property-level
-compiler supports (allOf/anyOf/oneOf; $ref / if-then-else /
-dependentSchemas route to the interp via UnsupportedKeyword — pinned
-below).  Reference semantics: property.cljc:268-293, 1083-1095."""
+evaluator alphabet over the applicators the property-level compiler
+supports (allOf/anyOf/oneOf, if/then/else, dependentSchemas, acyclic
+$ref via eager inlining, nested unevaluated*; only non-inlinable refs
+— cycles, external, $dynamicRef/$recursiveRef — plus draft-3 extends
+and draft-next propertyDependencies still route to the interp via
+UnsupportedKeyword — pinned below).  Reference semantics:
+property.cljc:268-293, 1083-1095."""
 
 from __future__ import annotations
 
@@ -246,20 +249,39 @@ def test_items_schema_claims_everything(spark):
 # -- routing + hygiene -----------------------------------------------------
 
 @pytest.mark.parametrize("frag", [
-    {"$ref": "#/$defs/x", "unevaluatedProperties": False},
-    # dependentSchemas is modeled at ROOT level only; at property
-    # level its claims still route to the interp
-    {"dependentSchemas": {"a": {"properties": {"b": {}}}},
-     "unevaluatedProperties": False},
-    {"anyOf": [{"properties": {"a": {}},
-                "unevaluatedProperties": False}],
+    # a cyclic $ref survives inline_local_refs and stays interp-routed
+    {"$ref": "#/$defs/cyc", "unevaluatedProperties": False},
+    # dynamic scope cannot be resolved statically
+    {"$dynamicRef": "#meta", "unevaluatedProperties": False},
+    # draft-next propertyDependencies claims are not modeled
+    {"propertyDependencies": {"a": {"x": {"properties": {"b": {}}}}},
      "unevaluatedProperties": False},
 ])
 def test_unsupported_claims_route_to_interp(frag):
     with pytest.raises(UnsupportedKeyword):
         ColumnarValidator({"$schema": D2020,
-                           "$defs": {"x": {"properties": {"a": {}}}},
+                           "$defs": {"x": {"properties": {"a": {}}},
+                                     "cyc": {"$ref": "#/$defs/cyc"}},
                            "properties": {"obj": frag}})
+
+
+def test_previously_unsafe_claims_now_lower(spark):
+    """Round-5 lowering: $ref (acyclic), property-level dependentSchemas
+    and nested unevaluated* all compile columnar now — verdict parity
+    with the interpreter is pinned in test_ref_inline.py /
+    test_dependent_columnar.py; here we pin that they no longer raise."""
+    for frag in [
+        {"$ref": "#/$defs/x", "unevaluatedProperties": False},
+        {"dependentSchemas": {"a": {"properties": {"b": {}}}},
+         "unevaluatedProperties": False},
+        {"anyOf": [{"properties": {"a": {}},
+                    "unevaluatedProperties": False}],
+         "unevaluatedProperties": False},
+    ]:
+        cv = ColumnarValidator({"$schema": D2020,
+                                "$defs": {"x": {"properties": {"a": {}}}},
+                                "properties": {"obj": frag}})
+        assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
 
 
 def test_property_if_then_else_parity(spark):
