@@ -69,7 +69,19 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     cut that bounds the quadratic fan-out (hot shingles carry no dedup
     signal; note it makes the Jaccard slightly conservative).  For
     corpus-scale near-dup detection use minhash_pairs instead.
+
+    Shuffle budget: the fully-prepped (id, shingle, size) table — after
+    the distinct, the stop-shingle cut, and the per-doc size window —
+    is persisted MEMORY_AND_DISK, so that whole lineage (one parquet
+    scan, one distinct shuffle, one frequency agg, one window shuffle)
+    executes ONCE and both sides of the pair join read the cache; the
+    per-doc shingle count rides along as a window over ``_id`` instead
+    of a separate aggregate joined back twice.  Callers that loop over
+    corpora can release the cache with ``spark.catalog.clearCache()``.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     sh = (df.select(F.col(id_col).alias("_id"),
                     F.explode(char_shingles(F.col(text_col), k, stride))
                      .alias("shingle"))
@@ -79,19 +91,23 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sh = (sh.join(F.broadcast(freq.where(F.col("_f") > max_shingle_freq)
                                       .select("shingle")),
                       "shingle", "left_anti"))
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    # per-doc shingle count attached in-line (constant within each _id)
+    sh = (sh.select("_id", "shingle",
+                    F.count(F.lit(1)).over(Window.partitionBy("_id"))
+                     .alias("sz"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    # both sides read the persisted table; AQE picks broadcast at tiny
+    # SF and sort-merge at corpus scale — either way the prep lineage
+    # is not recomputed per side
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a._id") < F.col("b._id")))
-              .groupBy(F.col("a._id").alias("id_a"),
-                       F.col("b._id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("inter_count")))
-    out = (inter
-           .join(sizes.select(F.col("_id").alias("id_a"),
-                              F.col("sz").alias("size_a")), "id_a")
-           .join(sizes.select(F.col("_id").alias("id_b"),
-                              F.col("sz").alias("size_b")), "id_b"))
+    out = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter_count"),
+                 F.min("a.sz").alias("size_a"),
+                 F.min("b.sz").alias("size_b")))
     union = F.col("size_a") + F.col("size_b") - F.col("inter_count")
     return (out.where(F.col("inter_count") * threshold_den
                       >= union * threshold_num)

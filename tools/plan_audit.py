@@ -35,6 +35,59 @@ EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
                    "dedup_embedding_lsh", "lsh_ann_embeddings"}
 
 
+def _count_executing_exchanges(plan: str) -> int:
+    """Count shuffles that actually execute for this query.
+
+    Plan strings reprint a persisted relation's ENTIRE cache-fill plan
+    under every `InMemoryRelation` consumer (with fresh expression ids),
+    although that lineage runs once at cache fill.  So: count Exchange
+    nodes OUTSIDE InMemoryRelation subtrees normally, and add each
+    distinct cached subtree's exchanges exactly once (normalizing the
+    per-print ids before deduping)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        i = ln.find("+- ")
+        return i if i >= 0 else -1
+
+    outside: list[str] = []
+    blocks: list[str] = []
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if "InMemoryRelation" in ln:
+            d = depth(ln)
+            block = []
+            i += 1
+            while i < len(lines):
+                d2 = depth(lines[i])
+                if 0 <= d2 <= d:
+                    break
+                block.append(lines[i])
+                i += 1
+            blocks.append("\n".join(block))
+            continue
+        outside.append(ln)
+        i += 1
+    n = len(re.findall(r"\bExchange\b", "\n".join(outside)))
+    seen = set()
+    for b in blocks:
+        # normalize per-print ids AND tree-connector indentation (the
+        # same cached plan prints at a different tree depth per consumer)
+        key = "\n".join(
+            re.sub(r"#\d+[A-Za-z]?|plan_id=\d+", "",
+                   re.sub(r"^[\s:+|-]*", "", ln))
+            for ln in b.splitlines())
+        if key in seen:
+            continue
+        seen.add(key)
+        # an AQE cache-fill prints both "== Final Plan ==" and
+        # "== Initial Plan ==" copies; only the final one executed
+        fill = b.split("== Initial Plan ==")[0]
+        n += len(re.findall(r"\bExchange\b", fill))
+    return n
+
+
 def _audit_pruned_scan(spark, problems):
     """Write a crawl-day-partitioned pages table, bound a validation to
     3 of its 30 days, and record the PartitionFilters evidence."""
@@ -101,7 +154,7 @@ def audit():
         except Exception as e:  # noqa: BLE001
             problems.append(f"{name}: plan error {type(e).__name__}: {e}")
             continue
-        n_ex = len(re.findall(r"\bExchange\b", plan))
+        n_ex = _count_executing_exchanges(plan)
         n_py = len(re.findall(r"(BatchEvalPython|ArrowEvalPython|"
                               r"MapInPandas|FlatMapGroupsInPandas)", plan))
         n_bc = len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan))
@@ -132,6 +185,12 @@ def audit():
         "shuffle/join) only materialize those markers once that exact",
         "plan object executes, so 'no' there means 'AQE-deferred', not",
         "'interpreted'.",
+        "",
+        "`shuffles` counts exchanges that EXECUTE: a persisted",
+        "relation's cache-fill lineage is reprinted verbatim under every",
+        "InMemoryRelation consumer in the plan string, but runs once, so",
+        "each distinct cached subtree is counted exactly once",
+        "(tools/plan_audit.py _count_executing_exchanges).",
         "",
         "| query | shuffles | python stages | broadcasts | codegen |",
         "|---|---|---|---|---|",
