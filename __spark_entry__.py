@@ -691,6 +691,57 @@ ELSE concat('5249464624000000', '57415645', '666D7420', '10000000',
 END"""
 
 
+# full-pixel PNG battery: complete PNG files in closed form — the IDAT
+# carries a STORED (uncompressed) deflate block, so DuckDB can assemble
+# the identical bytes AND predict the decoded pixel statistics.  Per
+# doc_id d: w=(d%4)+1, h=(d%3)+1, gray (1ch, value v=d%256) when d even
+# else rgb (v, v+40, v+80 mod 256); every 13th file is truncated ->
+# all-NULL stats (failure path).  Chunk CRCs/adler are dummies — the
+# decoder's tolerant mode skips them (ops/multimodal.py module note).
+_PXW = "CAST((doc_id % 4) + 1 AS INT)"
+_PXH = "CAST((doc_id % 3) + 1 AS INT)"
+_PXV = "CAST(doc_id % 256 AS INT)"
+_PX_GRAY = f"(doc_id % 2 = 0)"
+_PX_CH = f"if({_PX_GRAY}, 1, 3)"
+_PX_L = f"({_PXH} * (1 + {_PXW} * {_PX_CH}))"  # raw scanline bytes
+_PX_HEX = (
+    f"if({_PX_GRAY}, lpad(hex({_PXV}), 2, '0'),"
+    f" concat(lpad(hex({_PXV}), 2, '0'),"
+    f" lpad(hex(CAST((doc_id + 40) % 256 AS INT)), 2, '0'),"
+    f" lpad(hex(CAST((doc_id + 80) % 256 AS INT)), 2, '0')))")
+PIXEL_PNG_HEX_SQL = f"""
+if(doc_id % 13 = 0, '89504E470D0A1A0A0000',
+concat('89504E470D0A1A0A', '0000000D49484452',
+       lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
+       '08', if({_PX_GRAY}, '00', '02'), '000000', '00000000',
+       '000000', lpad(hex({_PX_L} + 11), 2, '0'), '49444154',
+       '7801', '01', lpad(hex({_PX_L}), 2, '0'), '00',
+       lpad(hex(255 - {_PX_L}), 2, '0'), 'FF',
+       repeat(concat('00', repeat({_PX_HEX}, {_PXW})), {_PXH}),
+       '00000000', '00000000',
+       '0000000049454E44AE426082'))"""
+
+
+def q_multimodal_pixel_stats(spark, sf_dir):
+    """Dependency-free FULL PNG pixel decode (stdlib zlib inflate +
+    scanline unfiltering, ops/multimodal.py _png_pixels) through the
+    Arrow mapInPandas stage: per-image min/max/mean and per-channel
+    means.  The oracle rebuilds the byte-identical files (stored-deflate
+    closed form) and predicts every statistic as the same exact
+    integer-sum / integer-count division, so a filter-reconstruction,
+    inflate-framing, or channel-interleave bug hash-mismatches."""
+    from m3spark.ops.multimodal import decode_image_pixels
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.expr(PIXEL_PNG_HEX_SQL)).alias("payload"))
+    return (decode_image_pixels(docs, "payload", "doc_id")
+            .select("doc_id", "width", "height", "channels", "px_min",
+                    "px_max", F.round("px_mean", 6).alias("px_mean"),
+                    F.round("ch0_mean", 6).alias("ch0_mean"),
+                    F.round("ch1_mean", 6).alias("ch1_mean"),
+                    F.round("ch2_mean", 6).alias("ch2_mean")))
+
+
 def q_multimodal_image_headers(spark, sf_dir):
     """REAL container-header decode battery: deterministic PNG / JPEG /
     WAV payloads are assembled byte-for-byte from doc_id (shared hex
@@ -783,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fixed_embeddings": q_ann_ivf_fixed_embeddings,
         "multimodal_features": q_multimodal_features,
         "multimodal_image_headers": q_multimodal_image_headers,
+        "multimodal_pixel_stats": q_multimodal_pixel_stats,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
         # rows-only (MLlib KMeans quantizer has no SQL analog; the
@@ -1299,6 +1351,43 @@ def oracle_sql() -> dict[str, str]:
                                                 2))::INT)) * 1.0
                          / (length(ph) / 2), 6) AS feature_mean
             FROM hx
+        """,
+        # full-pixel PNG decode: every statistic predicted from the
+        # stored-deflate closed form as the SAME exact integer-sum /
+        # integer-count division the decoder performs (bit-identical
+        # doubles before the shared round)
+        "multimodal_pixel_stats": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST((doc_id % 4) + 1 AS INT) AS w,
+                     CAST((doc_id % 3) + 1 AS INT) AS h,
+                     CAST(doc_id % 256 AS INT) AS v,
+                     CAST((doc_id + 40) % 256 AS INT) AS v1,
+                     CAST((doc_id + 80) % 256 AS INT) AS v2,
+                     (doc_id % 2 = 0) AS gray,
+                     (doc_id % 13 = 0) AS bad
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN bad THEN NULL ELSE w END AS width,
+              CASE WHEN bad THEN NULL ELSE h END AS height,
+              CASE WHEN bad THEN NULL WHEN gray THEN 1 ELSE 3 END
+                AS channels,
+              CAST(CASE WHEN bad THEN NULL WHEN gray THEN v
+                   ELSE least(v, v1, v2) END AS INT) AS px_min,
+              CAST(CASE WHEN bad THEN NULL WHEN gray THEN v
+                   ELSE greatest(v, v1, v2) END AS INT) AS px_max,
+              CASE WHEN bad THEN NULL
+                   WHEN gray THEN round(CAST(v AS DOUBLE), 6)
+                   ELSE round((h * w * (v + v1 + v2))
+                              / CAST(h * w * 3 AS DOUBLE), 6) END
+                AS px_mean,
+              CASE WHEN bad THEN NULL
+                   ELSE round(CAST(v AS DOUBLE), 6) END AS ch0_mean,
+              CASE WHEN bad OR gray THEN NULL
+                   ELSE round(CAST(v1 AS DOUBLE), 6) END AS ch1_mean,
+              CASE WHEN bad OR gray THEN NULL
+                   ELSE round(CAST(v2 AS DOUBLE), 6) END AS ch2_mean
+            FROM b
         """,
         # independent re-derivation of the flagship pipeline's verdicts:
         # rebuild each generated row's crawl day / url / lang from the

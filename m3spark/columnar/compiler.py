@@ -784,7 +784,15 @@ class ColumnarValidator:
             def build_enum(col, dt, _v=tuple(vals)):
                 ok = [x for x in _v if _value_compat(x, dt)]
                 # incompatible-typed literals can never match this column
-                return col.isin(*ok) if ok else F.lit(False)
+                if not ok:
+                    return F.lit(False)
+                preds = []
+                scalars = [x for x in ok if not isinstance(x, list)]
+                if scalars:
+                    preds.append(col.isin(*scalars))
+                for arr in (x for x in ok if isinstance(x, list)):
+                    preds.append(col.eqNullSafe(_array_lit(arr, dt)))
+                return _reduce_or(preds)
 
             self._add(name, "enum", f"{sp}/enum",
                       f"value not in enum ({len(vals)} options)", "error",
@@ -797,6 +805,8 @@ class ColumnarValidator:
             def build_const(col, dt, _c=cv):
                 if not _value_compat(_c, dt):
                     return F.lit(False)
+                if isinstance(_c, list):
+                    return col.eqNullSafe(_array_lit(_c, dt))
                 return col == F.lit(_c)
 
             self._add(name, "const", f"{sp}/const",
@@ -2047,6 +2057,13 @@ class ColumnarValidator:
                         F.col("v.value").alias("value")))
 
 
+def _array_lit(arr: list, dt: T.DataType) -> Column:
+    """Array literal typed to the column (empty arrays need the cast)."""
+    if not arr:
+        return F.array().cast(dt)
+    return F.array(*[F.lit(x) for x in arr])
+
+
 def _value_compat(v, dt: T.DataType) -> bool:
     """Can literal ``v`` be compared to a column of type ``dt`` without
     a cast (JSON type compatibility, not SQL coercion)?"""
@@ -2056,6 +2073,11 @@ def _value_compat(v, dt: T.DataType) -> bool:
         return isinstance(dt, _NUMERIC)
     if isinstance(v, str):
         return isinstance(dt, T.StringType)
+    if isinstance(v, list):
+        # array literal vs array column: json-= compares element-wise
+        return (isinstance(dt, T.ArrayType)
+                and all(_value_compat(x, dt.elementType) for x in v)
+                and None not in v)
     return False
 
 

@@ -120,6 +120,176 @@ def _decode_payload(raw: bytes) -> dict:
 _NULL_FEATURES = {f.name: None for f in FEATURE_SCHEMA.fields}
 
 
+# ---------------------------------------------------------------------------
+# PNG pixel decode — dependency-free (stdlib zlib inflate + scanline
+# unfiltering per the W3C PNG spec §6/§9): 8-bit depth, color types
+# 0 (gray) / 2 (rgb) / 3 (palette via PLTE) / 4 (gray+alpha) / 6 (rgba),
+# non-interlaced.  Chunk CRCs and the zlib adler32 trailer are NOT
+# verified (tolerant decode: a corpus crawl keeps partially-damaged
+# files decodable; the inflate itself still fails closed on garbage).
+# 16-bit and interlaced images return None (declared unsupported).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(raw: bytes):
+    i = 8
+    n = len(raw)
+    while i + 8 <= n:
+        ln = int.from_bytes(raw[i:i + 4], "big")
+        typ = raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + ln]
+        if len(data) < ln:
+            return  # truncated chunk
+        yield typ, data
+        if typ == b"IEND":
+            return
+        i += 12 + ln  # length + type + data + (unverified) CRC
+
+
+def _png_pixels(raw: bytes):
+    """(width, height, channels, HxWxC uint8 ndarray) or None."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_SIG:
+        return None
+    ihdr = None
+    plte = None
+    idat = []
+    for typ, data in _png_chunks(raw):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+            or ct not in _PNG_CHANNELS or w == 0 or h == 0:
+        return None
+    ch = _PNG_CHANNELS[ct]
+    stream = b"".join(idat)
+    if len(stream) < 3:
+        return None
+    try:
+        # skip the 2-byte zlib header; raw-deflate inflate ignores the
+        # adler32 trailer (tolerant decode, see module note)
+        rawdat = zlib.decompressobj(-15).decompress(stream[2:])
+    except zlib.error:
+        return None
+    stride = 1 + w * ch
+    if len(rawdat) < stride * h:
+        return None
+    out = bytearray(w * ch * h)
+    prev = bytearray(w * ch)
+    bpp = ch
+    for r in range(h):
+        f = rawdat[r * stride]
+        line = bytearray(rawdat[r * stride + 1:(r + 1) * stride])
+        if f == 1:      # Sub
+            for x in range(bpp, len(line)):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif f == 2:    # Up
+            for x in range(len(line)):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:    # Average
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:    # None
+            return None
+        out[r * w * ch:(r + 1) * w * ch] = line
+        prev = line
+    px = np.frombuffer(bytes(out), dtype=np.uint8)
+    if ct == 3:
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max(initial=0)) >= len(pal):
+            return None
+        return w, h, 3, pal[px].reshape(h, w, 3)
+    return w, h, ch, px.reshape(h, w, ch)
+
+
+PIXEL_SCHEMA = StructType([
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("px_min", IntegerType()),
+    StructField("px_max", IntegerType()),
+    StructField("px_mean", DoubleType()),
+    StructField("ch0_mean", DoubleType()),
+    StructField("ch1_mean", DoubleType()),
+    StructField("ch2_mean", DoubleType()),
+    StructField("ch3_mean", DoubleType()),
+])
+
+_NULL_PIXELS = {f.name: None for f in PIXEL_SCHEMA.fields}
+
+
+def png_pixel_stats(raw: bytes) -> dict:
+    """Per-image pixel statistics from the full decode.  Means are one
+    exact-integer-sum / exact-integer-count IEEE division, so a SQL
+    oracle computing the same two integers predicts them bit-for-bit."""
+    dec = _png_pixels(raw) if raw else None
+    if dec is None:
+        return dict(_NULL_PIXELS)
+    w, h, ch, px = dec
+    flat = px.reshape(-1)
+    total = int(flat.sum(dtype="int64"))
+    stats = {
+        "width": w, "height": h, "channels": ch,
+        "px_min": int(flat.min()), "px_max": int(flat.max()),
+        "px_mean": total / (w * h * ch),
+    }
+    for c in range(4):
+        stats[f"ch{c}_mean"] = (
+            int(px[:, :, c].sum(dtype="int64")) / (w * h)
+            if c < ch else None)
+    return stats
+
+
+def decode_image_pixels(df: DataFrame, binary_col: str,
+                        id_col: str) -> DataFrame:
+    """(id, width, height, channels, px_min, px_max, px_mean,
+    ch0..ch3_mean) via the same Arrow mapInPandas shape as
+    decode_binary_features — the real pixel path, not a stub."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name == id_col]
+        + list(PIXEL_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[binary_col].map(
+                lambda b: png_pixel_stats(bytes(b)) if b is not None
+                else dict(_NULL_PIXELS))
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for f in PIXEL_SCHEMA.fields:
+                col = feats.map(lambda d, _k=f.name: d[_k])
+                if isinstance(f.dataType, IntegerType):
+                    col = col.astype("Int32")
+                out[f.name] = col
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
 def decode_binary_features(df: DataFrame, binary_col: str,
                            id_col: str) -> DataFrame:
     """(id, media_type, n_bytes, checksum, feature_mean, width, height,

@@ -1,0 +1,176 @@
+"""Full PNG pixel decode (ops/multimodal.py _png_pixels): round-trip
+against a reference encoder (REAL zlib compression, all five scanline
+filters, every 8-bit color type incl. palette, multi-chunk IDAT), the
+declared-unsupported rejects, and the Arrow mapInPandas op."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from m3spark.ops.multimodal import (
+    _png_pixels, decode_image_pixels, png_pixel_stats,
+)
+
+
+def _chunk(typ, data):
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def make_png(px: np.ndarray, ct: int, filters, plte=None,
+             split_idat=True):
+    """Reference encoder: forward-filters each scanline with the given
+    per-row filter cycle and deflates for real."""
+    h, w, ch = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b""
+    prev = bytes(w * ch)
+    for r in range(h):
+        line = px[r].reshape(-1).tobytes()
+        f = filters[r % len(filters)]
+        enc = bytearray(line)
+        bpp = ch
+        if f == 1:
+            for x in range(len(line) - 1, bpp - 1, -1):
+                enc[x] = (line[x] - line[x - bpp]) & 0xFF
+        elif f == 2:
+            for x in range(len(line)):
+                enc[x] = (line[x] - prev[x]) & 0xFF
+        elif f == 3:
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    comp = zlib.compress(raw)
+    if split_idat and len(comp) > 7:
+        out += _chunk(b"IDAT", comp[:7]) + _chunk(b"IDAT", comp[7:])
+    else:
+        out += _chunk(b"IDAT", comp)
+    return out + _chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filters",
+                         [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_roundtrip_all_filters(ct, ch, filters):
+    rng = np.random.default_rng(ct * 10 + filters[0])
+    px = rng.integers(0, 256, (5, 4, ch), dtype=np.uint8)
+    got = _png_pixels(make_png(px, ct, filters))
+    assert got is not None
+    w, h, c, arr = got
+    assert (w, h, c) == (4, 5, ch)
+    assert (arr == px).all()
+
+
+def test_palette_lookup():
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 5, (3, 4, 1), dtype=np.uint8)
+    plte = bytes(rng.integers(0, 256, 15, dtype=np.uint8))
+    got = _png_pixels(make_png(idx, 3, [0, 4], plte=plte))
+    assert got is not None
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert (got[3] == pal[idx.reshape(-1)].reshape(3, 4, 3)).all()
+
+
+def test_palette_out_of_range_rejected():
+    idx = np.full((2, 2, 1), 9, dtype=np.uint8)
+    plte = bytes(9)  # 3 entries
+    assert _png_pixels(make_png(idx, 3, [0], plte=plte)) is None
+
+
+def test_stats_exact_division():
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    px[:, :, 1] = 20
+    px[:, :, 2] = 250
+    s = png_pixel_stats(make_png(px, 2, [1]))
+    assert (s["px_min"], s["px_max"]) == (10, 250)
+    assert s["px_mean"] == (6 * (10 + 20 + 250)) / 18
+    assert (s["ch0_mean"], s["ch1_mean"], s["ch2_mean"]) == \
+        (10.0, 20.0, 250.0)
+    assert s["ch3_mean"] is None
+
+
+@pytest.mark.parametrize("mutate", [
+    "depth16", "interlaced", "truncated", "bad_deflate", "not_png"])
+def test_rejects(mutate):
+    px = np.zeros((2, 2, 1), dtype=np.uint8)
+    raw = make_png(px, 0, [0])
+    if mutate == "depth16":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
+    elif mutate == "interlaced":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+        raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
+    elif mutate == "truncated":
+        raw = raw[:30]
+    elif mutate == "bad_deflate":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        raw = (raw[:8] + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", b"\x78\x01\xff\xff\xff\xff")
+               + _chunk(b"IEND", b""))
+    elif mutate == "not_png":
+        raw = b"GIF89a" + raw[6:]
+    assert _png_pixels(raw) is None
+    stats = png_pixel_stats(raw)
+    assert all(v is None for v in stats.values())
+
+
+def test_stored_deflate_with_dummy_adler():
+    """The driver query's closed form: stored deflate block + dummy
+    adler/CRCs must decode (tolerant mode)."""
+    w, h, v = 3, 2, 77
+    line = bytes([0]) + bytes([v]) * w
+    raw_data = line * h
+    stored = (b"\x01" + len(raw_data).to_bytes(2, "little")
+              + (65535 - len(raw_data)).to_bytes(2, "little") + raw_data)
+    idat = b"\x78\x01" + stored + b"\x00\x00\x00\x00"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+           + struct.pack(">I", len(idat)) + b"IDAT" + idat + b"\x00" * 4
+           + struct.pack(">I", 0) + b"IEND" + b"\x00" * 4)
+    got = _png_pixels(png)
+    assert got is not None
+    assert got[:3] == (w, h, 1)
+    assert (got[3] == v).all()
+
+
+def test_decode_image_pixels_op(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    expected = {}
+    for i in range(6):
+        ch = [1, 3][i % 2]
+        px = rng.integers(0, 256, (3, 4, ch), dtype=np.uint8)
+        raw = make_png(px, 0 if ch == 1 else 2, [i % 5])
+        rows.append((i, bytearray(raw)))
+        expected[i] = png_pixel_stats(raw)
+    rows.append((6, None))
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    out = {r["id"]: r.asDict()
+           for r in decode_image_pixels(df, "payload", "id").collect()}
+    assert out[6]["width"] is None
+    for i in range(6):
+        for k, v in expected[i].items():
+            got = out[i][k]
+            assert (got == pytest.approx(v) if isinstance(v, float)
+                    else got == v), (i, k, got, v)
