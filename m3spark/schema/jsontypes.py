@@ -84,11 +84,20 @@ def json_eq(a: Any, b: Any) -> bool:
     if a_bool or b_bool:
         return a_bool and b_bool and a is b
     if is_number(a) and is_number(b):
-        # exact value equality across int/float/Decimal; avoid float
-        # precision traps for large ints by going through Decimal
+        # exact MATHEMATICAL value equality across int/float/Decimal.
+        # Decimal(float) is the exact binary expansion — Decimal(str(x))
+        # would compare the shortest round-trip decimal instead, which
+        # breaks at the long boundary (str(float(2^63)) reads back as
+        # ...776000, not the double's exact ...775808, making
+        # 2^63 != float(2^63)).  The reference computes (zero? (- l r))
+        # with float contagion (type.cljc:56-58), which agrees with the
+        # exact rule everywhere both sides are exactly representable;
+        # where contagion rounds an integer ONTO a double (2^53+1 vs
+        # 2^53.0) we follow the spec's mathematical equality instead —
+        # enumerated divergence, see COVERAGE.md.
         try:
-            return Decimal(str(a)) == Decimal(str(b))
-        except InvalidOperation:  # inf/nan reprs
+            return Decimal(a) == Decimal(b)
+        except (InvalidOperation, ValueError):  # nan
             return float(a) == float(b)
     if isinstance(a, dict) and isinstance(b, dict):
         if a.keys() != b.keys():

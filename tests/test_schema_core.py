@@ -18,8 +18,11 @@ from corpus import CASES
 from corpus2 import CASES2
 from corpus3 import CASES3
 from corpus4 import CASES4
+from corpus5 import CASES5
+from corpus6 import CASES6
+from corpus_remote import CASES_REMOTE, remote_uri_dirs
 
-ALL_CASES = CASES + CASES2 + CASES3 + CASES4
+ALL_CASES = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6
 
 M3_TESTS_DIR = "/root/reference/test-resources/m3-tests"
 
@@ -38,6 +41,19 @@ def test_corpus_group(case):
         assert got == expected, (
             f"[{draft}] {desc}: data={data!r} expected valid={expected}, "
             f"got {got}: {[v.message for v in cs.validate(data).errors]}")
+
+
+@pytest.mark.parametrize("case", CASES_REMOTE, ids=_case_id)
+def test_remote_corpus_group(case):
+    """Remote-reference families: same replay, served via uri_dirs."""
+    draft, desc, schema, tests = case
+    cs = compile_schema(schema, draft=draft, format_assertion=True,
+                        uri_dirs=remote_uri_dirs())
+    for data, expected in tests:
+        got = cs.is_valid(data)
+        assert got == expected, (
+            f"[{draft}] {desc}: data={data!r} expected valid={expected}, "
+            f"got {got}")
 
 
 def _m3_fixture_groups():
