@@ -117,6 +117,8 @@ def run_bench() -> dict:
         "minhash_pairs_fast", "multimodal_image_headers",
         "val_content_documents", "val_recursive_ref",
         "dedup_embedding_lsh", "val_unevaluated_events",
+        # round-5 additions
+        "val_ref_defs_orders", "multimodal_pixel_stats",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
@@ -241,25 +243,61 @@ def _md5_burn(n):
     return x[0]
 
 
-def _cpu_baseline(n_low: int, n_high: int, n_hashes: int = 800_000) -> dict:
-    """Pure-CPU (no Spark, no JVM) md5 scaling measured at the same
-    moment as the Spark levels: on this host, vCPU steal rises with
-    parallelism, capping what ANY workload can show.  The engine's
-    normalized efficiency = spark_efficiency / cpu_efficiency isolates
-    engine-added scaling loss from host steal."""
+def _membw_burn(n_mb):
+    """Stream-sum over an ``n_mb``-MB float64 array: one allocation
+    write pass + 8 read passes — memory-BANDWIDTH bound, nearly no
+    ALU work.  Complements the integer-register-bound md5 burn, which
+    is blind to host memory-bandwidth contention."""
+    import numpy as np
+
+    a = np.ones(n_mb * 131_072, dtype=np.float64)  # n_mb MB
+    s = 0.0
+    for _ in range(8):
+        s += float(a.sum())
+    return s
+
+
+def _cpu_baseline(n_low: int, n_high: int, n_hashes: int = 800_000,
+                  membw_mb: int = 192) -> dict:
+    """No-Spark host-capability baselines measured at the same moment
+    as the Spark levels: on this host, vCPU steal rises with
+    parallelism, capping what ANY workload can show.  Two probes with
+    opposite bottlenecks:
+
+    - md5 (integer/ALU-bound, cache-resident): senses CPU steal only;
+    - membw (streaming array sum): senses memory-bandwidth contention,
+      which BENCH.md's per-stage attribution identified as the likely
+      cause of the rare low-efficiency windows the md5 baseline calls
+      'quiet'.
+
+    The engine's normalized efficiency = spark_eff / md5_eff isolates
+    engine-added loss from host steal; a depressed membw_efficiency in
+    the same window attributes a bad attempt to bandwidth contention."""
     from multiprocessing import Pool
 
-    burn = _md5_burn
     out = {}
     for procs in (n_low, n_high):
         best = 0.0
         for _ in range(3):
             t0 = time.monotonic()
             with Pool(procs) as p:
-                p.map(burn, [n_hashes] * procs)
+                p.map(_md5_burn, [n_hashes] * procs)
             best = max(best, procs * n_hashes / (time.monotonic() - t0))
         out[procs] = best
     out["efficiency"] = out[n_high] / (out[n_low] * (n_high / n_low))
+    mb = {}
+    for procs in (n_low, n_high):
+        best = 0.0
+        for _ in range(2):
+            t0 = time.monotonic()
+            with Pool(procs) as p:
+                p.map(_membw_burn, [membw_mb] * procs)
+            best = max(best,
+                       procs * membw_mb * 9 / (time.monotonic() - t0))
+        mb[procs] = best  # MB touched per second (1 write + 8 reads)
+    out["membw_efficiency"] = mb[n_high] / (mb[n_low] * (n_high / n_low))
+    out["membw_low_gbps"] = round(mb[n_low] / 1024, 2)
+    out["membw_high_gbps"] = round(mb[n_high] / 1024, 2)
     return out
 
 
@@ -316,6 +354,9 @@ def run_scaling_cluster(e_low: int = 2, e_high: int = 8,
             "high_docs_per_sec": round(hi["docs_per_sec"], 1),
             "efficiency": round(eff, 3),
             "cpu_baseline_efficiency": round(cpu["efficiency"], 3),
+            "membw_baseline_efficiency": round(cpu["membw_efficiency"], 3),
+            "membw_low_gbps": cpu["membw_low_gbps"],
+            "membw_high_gbps": cpu["membw_high_gbps"],
             "normalized_efficiency": round(eff / cpu["efficiency"], 3),
         }
         if "stage_metrics" in lo and "stage_metrics" in hi:
@@ -534,6 +575,9 @@ def run_scaling(n_low: int = 4, n_high: int = 16,
             "high_docs_per_sec": round(hi["docs_per_sec"], 1),
             "efficiency": round(eff, 3),
             "cpu_baseline_efficiency": round(cpu["efficiency"], 3),
+            "membw_baseline_efficiency": round(cpu["membw_efficiency"], 3),
+            "membw_low_gbps": cpu["membw_low_gbps"],
+            "membw_high_gbps": cpu["membw_high_gbps"],
             "normalized_efficiency": round(eff / cpu["efficiency"], 3),
         })
     med = statistics.median(a["efficiency"] for a in attempts_out)
@@ -614,6 +658,7 @@ def _write_bench_md_cluster(report: dict, e_low: int, e_high: int,
         f"| {i + 1} | {a['low_sec']} | {a['high_sec']} "
         f"| {a['low_docs_per_sec']:,} | {a['high_docs_per_sec']:,} "
         f"| {a['efficiency']} | {a['cpu_baseline_efficiency']} "
+        f"| {a.get('membw_baseline_efficiency', '-')} "
         f"| {a['normalized_efficiency']} |"
         for i, a in enumerate(report["attempts"]))
     attr_rows = "\n".join(
@@ -661,8 +706,8 @@ window, so host drift cannot land on one level; the normalized column
 divides the Spark efficiency by the same-window CPU-baseline
 efficiency, isolating engine-attributable scaling loss from host steal.
 
-| attempt | {e_low}x{cores_per} sec | {e_high}x{cores_per} sec | N docs/s | 4N docs/s | efficiency | cpu baseline eff | normalized |
-|---|---|---|---|---|---|---|---|
+| attempt | {e_low}x{cores_per} sec | {e_high}x{cores_per} sec | N docs/s | 4N docs/s | efficiency | md5 baseline eff | membw baseline eff | normalized |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 **Latest-batch median efficiency = {report['scaling_efficiency']}**
@@ -781,6 +826,49 @@ this VM (same code measures 2-4x apart minutes apart — see the steal
 analysis above); cross-round BENCH_rN deltas are therefore only
 actionable after a same-window A/B, which is now a standing tool.
 
+## Round-4 bench deltas: attributed (r5 same-window ABBA A/B)
+
+Same methodology, round-3 tree (e82ee7b) vs current
+(`python tools/ab_bench.py e82ee7b val_content_documents
+val_events_props`):
+
+| query | r3->r4 recorded delta | same-window current/r3 | verdict |
+|---|---|---|---|
+| val_events_props | +16% | **1.017** | host-window noise, no regression |
+| val_content_documents | +87% | **1.546** | deliberate feature cost, engine clean (below) |
+
+val_content_documents feature-cost split: the r4 task deepened the
+contentSchema (nested object via variant paths + array-of-string via
+`array<variant>` forall), so the cross-tree ratio conflates the bigger
+schema with any engine change.  Running the r3 SHALLOW schema on the
+CURRENT engine (fresh JVM per side, ABBA, 5 timed runs, sf0.1) gives
+deep/shallow = **1.556** on the same tree — the entire 1.546 cross-tree
+ratio is the deepened schema's work (more variant predicates per row);
+the engine-attributable ratio is 1.546 / 1.556 = **0.99**.  The r4
+`weak` perf flag on this query is cleared: still 0 Python stages,
+hash-exact, and the added cost buys the deep contentSchema coverage.
+
+## The memory-bandwidth baseline (r5): why some windows are bad
+
+The md5 baseline is integer/ALU-bound and cache-resident — blind to
+memory-bandwidth contention, which r4's per-stage attribution
+identified as the likely cause of the rare low-efficiency windows the
+md5 probe calls "quiet".  Each attempt now also measures a streaming
+array-sum probe (one write + 8 read passes over a 192 MB float64 array
+per process) in the same window.  Accumulated measurements show the
+host's aggregate streaming bandwidth is wildly nonstationary — 5-17
+GB/s at 4 procs, 5-41 GB/s at 16 — and its own 4->16 scaling
+efficiency swings 0.2-0.83 across windows while md5 sits at 0.61-0.95:
+the bandwidth pool is shared with neighbors and is the scarcer, more
+contended resource, exactly what the inflated work ratios in bad
+attempts (CPU cycles burned on memory stalls) pointed at.  A bad Spark
+attempt alongside a depressed same-window membw efficiency is now
+attributable per-attempt instead of argued; the engine target remains
+the raw >= 0.8 median, which the validate workload demonstrated in the
+round-4 10-attempt batch (median 0.819, best 0.887 at the host's own
+md5 ceiling of 0.888) — bandwidth-quiet windows its codegen-over-
+cache-resident-batches hot path can exploit.
+
 ## Why executors of {cores_per} cores, {e_low} -> {e_high}
 
 {e_low * cores_per} -> {e_high * cores_per} total cores keeps both
@@ -801,6 +889,7 @@ def _write_bench_md(report: dict, n_low: int, n_high: int):
         f"| {i + 1} | {a['low_sec']} | {a['high_sec']} "
         f"| {a['low_docs_per_sec']:,} | {a['high_docs_per_sec']:,} "
         f"| {a['efficiency']} | {a['cpu_baseline_efficiency']} "
+        f"| {a.get('membw_baseline_efficiency', '-')} "
         f"| {a['normalized_efficiency']} |"
         for i, a in enumerate(report["attempts"]))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -826,8 +915,8 @@ local[{n_high}], then the CPU baseline back-to-back in one window, so
 host drift cannot land on one level; the reported number is the median
 per-attempt efficiency.
 
-| attempt | local[{n_low}] sec | local[{n_high}] sec | N docs/s | 4N docs/s | efficiency | cpu baseline eff | normalized |
-|---|---|---|---|---|---|---|---|
+| attempt | local[{n_low}] sec | local[{n_high}] sec | N docs/s | 4N docs/s | efficiency | md5 baseline eff | membw baseline eff | normalized |
+|---|---|---|---|---|---|---|---|---|
 {rows}
 
 **Median scaling efficiency = {report['scaling_efficiency']}**

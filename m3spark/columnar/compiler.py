@@ -787,11 +787,15 @@ class ColumnarValidator:
                 if not ok:
                     return F.lit(False)
                 preds = []
-                scalars = [x for x in ok if not isinstance(x, list)]
+                scalars = [x for x in ok if not isinstance(x, list)
+                           and not _needs_eq_path(x, dt)]
                 if scalars:
                     preds.append(col.isin(*scalars))
-                for arr in (x for x in ok if isinstance(x, list)):
-                    preds.append(col.eqNullSafe(_array_lit(arr, dt)))
+                for x in ok:
+                    if isinstance(x, list):
+                        preds.append(col.eqNullSafe(_array_lit(x, dt)))
+                    elif _needs_eq_path(x, dt):
+                        preds.append(_eq_lit(col, dt, x))
                 return _reduce_or(preds)
 
             self._add(name, "enum", f"{sp}/enum",
@@ -807,6 +811,8 @@ class ColumnarValidator:
                     return F.lit(False)
                 if isinstance(_c, list):
                     return col.eqNullSafe(_array_lit(_c, dt))
+                if _needs_eq_path(_c, dt):
+                    return _eq_lit(col, dt, _c)
                 return col == F.lit(_c)
 
             self._add(name, "const", f"{sp}/const",
@@ -1169,9 +1175,15 @@ class ColumnarValidator:
                                 F.size(col) == F.size(F.array_distinct(col))))
         items = sub.get("items")
         if items is False:
+            # 2020-12: items applies only past the prefixItems window,
+            # so false forbids elements BEYOND the prefix, not all
+            n_pfx = len(sub["prefixItems"]) \
+                if isinstance(sub.get("prefixItems"), list) else 0
             self._add(name, "items", f"{sp}/items",
-                      "items: false allows only empty arrays", "error",
-                      arr_guard(lambda col, et: F.size(col) == 0))
+                      "items: false allows no elements past the prefix",
+                      "error",
+                      arr_guard(lambda col, et, _n=n_pfx:
+                                F.size(col) <= _n))
         elif isinstance(items, dict):
             builders = self._nested_builders(items, f"{sp}/items")
             n_prefix = len(sub.get("prefixItems") or []) \
@@ -1245,8 +1257,14 @@ class ColumnarValidator:
                               arr_guard(build_ai))
 
         contains = sub.get("contains")
-        if isinstance(contains, dict) and _ge(self.draft, DRAFT6):
-            builders = self._nested_builders(contains, f"{sp}/contains")
+        if isinstance(contains, (dict, bool)) and _ge(self.draft, DRAFT6):
+            if contains is True or contains == {}:
+                builders = []         # matches every element
+            elif contains is False:
+                builders = [lambda col, dt: F.lit(False)]  # matches none
+            else:
+                builders = self._nested_builders(contains,
+                                                 f"{sp}/contains")
             min_c = sub.get("minContains", 1)
             max_c = sub.get("maxContains")
 
@@ -2055,6 +2073,53 @@ class ColumnarValidator:
                         F.col("v.message").alias("message"),
                         F.col("v.level").alias("level"),
                         F.col("v.value").alias("value")))
+
+
+def _needs_eq_path(x, dt: T.DataType) -> bool:
+    """Literals where a plain isin/lit would crash py4j (ints beyond
+    long range) or silently lose exactness (float literal vs integral
+    column at >= 2^53): route through _eq_lit instead."""
+    if isinstance(x, bool):
+        return False
+    if isinstance(x, int):
+        return abs(x) >= 2**53
+    if isinstance(x, float):
+        return isinstance(dt, _INTEGRAL)
+    return False
+
+
+def _eq_lit(col: Column, dt: T.DataType, x) -> Column:
+    """col == literal with json-= MATHEMATICAL numeric equality across
+    the int/float representation boundary (jsontypes.json_eq parity):
+    an integer literal equals a double value iff the literal is exactly
+    double-representable and the doubles match; a non-representable
+    integer equals no double (a double's exact value is a bounded
+    dyadic rational)."""
+    from decimal import Decimal as _D
+
+    if isinstance(x, int) and not isinstance(x, bool):
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            try:
+                f = float(x)
+            except OverflowError:
+                return F.lit(False)
+            if int(f) == x:
+                return col == F.lit(f)
+            return F.lit(False)
+        if isinstance(dt, _INTEGRAL):
+            if -(2**63) <= x < 2**63:
+                return col == F.lit(x)
+            return F.lit(False)
+        if isinstance(dt, T.DecimalType):
+            if len(str(abs(x))) <= 38:
+                return col == F.lit(_D(x))
+            return F.lit(False)
+        return F.lit(False)
+    if isinstance(x, float) and isinstance(dt, _INTEGRAL):
+        if x.is_integer() and -(2**63) <= x < 2**63:
+            return col == F.lit(int(x))
+        return F.lit(False)
+    return col == F.lit(x)
 
 
 def _array_lit(arr: list, dt: T.DataType) -> Column:

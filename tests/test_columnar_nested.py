@@ -198,3 +198,38 @@ def test_nested_udf_format_rejected():
         ColumnarValidator(
             {"properties": {"xs": {"items": {"format": "idn-hostname"}}}})
     assert "pandas-UDF" in str(ei.value)
+
+
+def test_boolean_contains_and_items_false_with_prefix(spark):
+    """r5 triple-sweep finds: boolean-form contains was ignored and
+    items:false forbade the WHOLE array instead of only elements past
+    prefixItems.  Interp parity over the same arrays."""
+    import json
+
+    from m3spark.sparkval import validate_json
+
+    df = spark.createDataFrame(
+        [([],), ([1],), ([1, 2],), (None,)], "v array<int>")
+    docs = [json.dumps(d) for d in
+            ({"v": []}, {"v": [1]}, {"v": [1, 2]}, {})]
+    ddf = spark.createDataFrame([(x,) for x in docs], "doc string")
+    for schema, expected in [
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "properties": {"v": {"contains": False}}},
+         [False, False, False, True]),
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "properties": {"v": {"contains": True}}},
+         [False, True, True, True]),
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "properties": {"v": {"prefixItems": [{"type": "integer"}],
+                               "items": False}}},
+         [True, True, False, True]),
+        ({"$schema": "https://json-schema.org/draft/2020-12/schema",
+          "properties": {"v": {"items": False}}},
+         [True, False, False, True]),
+    ]:
+        cv = ColumnarValidator(schema)
+        got = [r["valid"] for r in cv.apply(df).collect()]
+        interp = [r["valid"] for r in
+                  validate_json(ddf, schema).collect()]
+        assert got == interp == expected, (schema, got, interp)

@@ -160,6 +160,14 @@ def sql_mirror(schema, draft, kind):
         return None
     numeric = kind in ("int", "float")
     old = draft in (DRAFT3, DRAFT4)
+    if old:
+        # draft-3/4 boolean exclusive* REQUIRES its base keyword; the
+        # engine meta-validates and fails every instance — outside the
+        # mirror's scope
+        for excl, base in (("exclusiveMinimum", "minimum"),
+                           ("exclusiveMaximum", "maximum")):
+            if isinstance(schema.get(excl), bool) and base not in schema:
+                return None
     parts = []
     t = schema.get("type")
     if isinstance(t, str):
@@ -175,14 +183,15 @@ def sql_mirror(schema, draft, kind):
             continue
         ok = []
         for x in vals:
+            if isinstance(x, (int, float)) and not isinstance(x, bool) \
+                    and abs(x) >= 2**53:
+                # cross-representation equality at/beyond 2^53 needs
+                # exact-rational semantics SQL IN can't give (this also
+                # covers ints beyond the long range)
+                return None
             xk = _scalar_kind(x)
             if xk is None:
                 continue  # non-scalar literal can't equal a scalar col
-            if xk in ("int", "float") and not isinstance(x, bool) \
-                    and abs(x) >= 2**53:
-                # cross-representation equality at/beyond 2^53 needs
-                # exact-rational semantics SQL IN can't give
-                return None
             if (xk == kind or (numeric and xk in ("int", "float"))) \
                     and not (xk == "bool") != (kind == "bool"):
                 ok.append(_sql_lit(x))
@@ -229,9 +238,9 @@ def sql_mirror(schema, draft, kind):
                 f" AND CAST({dec_v} AS DOUBLE) = CAST(v AS DOUBLE))")
     for kw, op in (("minLength", ">="), ("maxLength", "<=")):
         n = schema.get(kw)
-        if isinstance(n, int) and not isinstance(n, bool) \
-                and kind == "str":
-            parts.append(f"length(v) {op} {n}")
+        if isinstance(n, (int, float)) and not isinstance(n, bool) \
+                and float(n).is_integer() and kind == "str":
+            parts.append(f"length(v) {op} {int(n)}")
     pat = schema.get("pattern")
     if isinstance(pat, str) and kind == "str":
         if not _RE2_SAFE.match(pat) or "(?" in pat:
@@ -352,8 +361,12 @@ def main(argv=None):
                 continue
             vals = ", ".join(
                 f"({i}, {_sql_lit(d)})" for i, d in items)
-            q = (f"SELECT i, {mirror} AS ok FROM (VALUES {vals}) "
-                 f"AS t(i, v)")
+            # VALUES would infer DECIMAL for plain float literals —
+            # force the JSON-faithful column type (double semantics are
+            # what Decimal(str(v)) mirrors)
+            q = (f"SELECT i, {mirror} AS ok FROM ("
+                 f"SELECT i, CAST(v AS {_DUCK_T[kind]}) AS v "
+                 f"FROM (VALUES {vals}) AS t0(i, v)) AS t")
             try:
                 for i, ok in con.sql(q).fetchall():
                     sql_verdicts[i] = bool(ok)
