@@ -772,10 +772,23 @@ class ColumnarValidator:
                       lambda col, dt, _t=t: _type_ok(_t, dt, col))
         elif isinstance(t, list):
             names = [x for x in t if isinstance(x, str)]
+            # draft-3 union types may embed SCHEMA members: the value
+            # matches the union if it satisfies any member schema
+            # (c_type parity; in draft-4+ schema members are
+            # meta-invalid and never reach here)
+            sub_preds = tuple(
+                self._fragment_pred(s, f"{sp}/type/{i}")
+                for i, s in enumerate(t)
+                if isinstance(s, dict) and draft == DRAFT3)
+
+            def build_type_union(col, dt, _n=tuple(names), _s=sub_preds):
+                oks = [_type_ok(x, dt, col) for x in _n]
+                oks += [p(col, dt).eqNullSafe(True) for p in _s]
+                return _reduce_or(oks)
+
             self._add(name, "type", f"{sp}/type",
                       f"expected one of {names}", "error",
-                      lambda col, dt, _n=tuple(names): _reduce_or(
-                          [_type_ok(x, dt, col) for x in _n]),
+                      build_type_union,
                       null_passes=False if "null" in names else True)
 
         if isinstance(sub.get("enum"), list):

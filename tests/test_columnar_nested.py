@@ -233,3 +233,22 @@ def test_boolean_contains_and_items_false_with_prefix(spark):
         interp = [r["valid"] for r in
                   validate_json(ddf, schema).collect()]
         assert got == interp == expected, (schema, got, interp)
+
+
+def test_draft3_union_type_with_schema_member(spark):
+    """draft-3 union `type` may embed schema members: the columnar
+    engine must OR the member-schema predicate in (r5 sweep find)."""
+    import json
+
+    from m3spark.sparkval import validate_json
+
+    schema = {"properties": {
+        "v": {"type": ["string", {"type": "number", "minimum": 3}]}}}
+    df = spark.createDataFrame([(4.0,), (2.0,), (None,)], "v double")
+    cv = ColumnarValidator(schema, draft="draft3")
+    got = [r["valid"] for r in cv.apply(df).collect()]
+    docs = [json.dumps(d) for d in ({"v": 4.0}, {"v": 2.0}, {})]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema, draft="draft3").collect()]
+    assert got == interp == [True, False, True]

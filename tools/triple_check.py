@@ -173,7 +173,9 @@ def sql_mirror(schema, draft, kind):
     if isinstance(t, str):
         parts.append(_type_sql(t, kind, draft))
     elif isinstance(t, list):
-        opts = [_type_sql(x, kind, draft) for x in t if isinstance(x, str)]
+        if any(not isinstance(x, str) for x in t):
+            return None  # draft-3 embedded schema member: out of scope
+        opts = [_type_sql(x, kind, draft) for x in t]
         parts.append("(" + " OR ".join(opts) + ")" if opts else "FALSE")
     for kw, vals in (("enum", schema.get("enum")),
                      ("const", [schema["const"]]
@@ -359,15 +361,19 @@ def main(argv=None):
             mirror = sql_mirror(schema, draft, kind)
             if mirror is None:
                 continue
-            vals = ", ".join(
-                f"({i}, {_sql_lit(d)})" for i, d in items)
-            # VALUES would infer DECIMAL for plain float literals —
-            # force the JSON-faithful column type (double semantics are
-            # what Decimal(str(v)) mirrors)
-            q = (f"SELECT i, {mirror} AS ok FROM ("
-                 f"SELECT i, CAST(v AS {_DUCK_T[kind]}) AS v "
-                 f"FROM (VALUES {vals}) AS t0(i, v)) AS t")
+            # feed instances through a registered DataFrame: VALUES
+            # literals would infer DECIMAL (and DuckDB 1.0 constant-
+            # folds casts through the pre-cast literal type), while a
+            # float64/int64 column carries true JSON number semantics
+            import pandas as _pd
+            _dtype = {"float": "float64", "int": "int64",
+                      "bool": "bool", "str": "object"}[kind]
+            frame = _pd.DataFrame(
+                {"i": [i for i, _ in items],
+                 "v": _pd.Series([d for _, d in items], dtype=_dtype)})
+            q = f"SELECT i, {mirror} AS ok FROM frame"
             try:
+                con.register("frame", frame)
                 for i, ok in con.sql(q).fetchall():
                     sql_verdicts[i] = bool(ok)
             except Exception as exc:  # noqa: BLE001
