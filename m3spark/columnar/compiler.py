@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from m3spark.columnar.inline import inline_local_refs
 from m3spark.schema.core import (
-    DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, _ge, draft_of,
+    DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, _ge, draft_of,
     meta_validate_schema,
 )
 from m3spark.schema.formats import (
@@ -318,6 +318,7 @@ class ColumnarValidator:
         "unevaluatedProperties", "unevaluatedItems",
         "if", "then", "else",
         "dependentRequired", "dependentSchemas", "dependencies",
+        "extends", "propertyDependencies",
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
@@ -327,6 +328,7 @@ class ColumnarValidator:
         "$comment", "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
         "dependentRequired", "dependentSchemas", "dependencies",
         "unevaluatedProperties", "unevaluatedItems",
+        "extends", "propertyDependencies",
     }
 
     _ROW_CHECK = ""  # Check.column sentinel: build receives (None, dtypes)
@@ -461,6 +463,43 @@ class ColumnarValidator:
                 if isinstance(branch, dict):
                     # flatten: keeps per-keyword violation granularity
                     self._compile_root(branch, f"{sp}/allOf/{i}")
+        # draft-3 extends: conjunctive (allOf's ancestor) — flatten the
+        # same way; unknown keyword in every other draft (interp parity)
+        ext = schema.get("extends")
+        if self.draft == DRAFT3 and ext is not None:
+            branches = ext if isinstance(ext, list) else [ext]
+            for i, branch in enumerate(branches):
+                if isinstance(branch, dict):
+                    self._compile_root(branch, f"{sp}/extends/{i}")
+        # draft-next propertyDependencies: property p holding STRING
+        # value v triggers the (p, v) schema (c_property_dependencies)
+        pdeps = schema.get("propertyDependencies")
+        if isinstance(pdeps, dict) and _ge(self.draft, DNEXT):
+            for prop, m in pdeps.items():
+                if not isinstance(m, dict):
+                    continue
+                for sval, s in m.items():
+                    if not isinstance(s, (dict, bool)) \
+                            or not isinstance(sval, str):
+                        continue
+                    psp = f"{sp}/propertyDependencies/{prop}/{sval}"
+                    pred = self._row_pred(s, psp, errors_only=True)
+
+                    def build_pd(_col, dtypes, _p=prop, _v=sval,
+                                 _pred=pred):
+                        if _p in dtypes and isinstance(dtypes[_p],
+                                                       T.StringType):
+                            trig = F.col(_p) == F.lit(_v)
+                        else:
+                            trig = F.lit(False)
+                        return F.when(trig,
+                                      _pred(dtypes).eqNullSafe(True)) \
+                                .otherwise(F.lit(True))
+
+                    self._row_check(
+                        "propertyDependencies", psp,
+                        f"dependent schema for {prop}={sval!r} failed",
+                        build_pd)
         for comb in ("anyOf", "oneOf"):
             branches = schema.get(comb)
             if isinstance(branches, list):
@@ -653,6 +692,29 @@ class ColumnarValidator:
                     return trig & _p(dtypes).eqNullSafe(True)
 
                 branches.append((ds_gated, self._root_claims(s, dsp)))
+        pdeps = frag.get("propertyDependencies")
+        if isinstance(pdeps, dict) and _ge(self.draft, DNEXT):
+            for prop, m in pdeps.items():
+                if not isinstance(m, dict):
+                    continue
+                for sval, s in m.items():
+                    if not isinstance(s, dict) or s == {} \
+                            or not isinstance(sval, str):
+                        continue
+                    psp = f"{sp}/propertyDependencies/{prop}/{sval}"
+                    s_pred = self._row_pred(s, psp, errors_only=True)
+
+                    def pd_gated(dtypes, _p=prop, _v=sval, _s=s_pred):
+                        if _p in dtypes and isinstance(dtypes[_p],
+                                                       T.StringType):
+                            trig = F.col(_p) == F.lit(_v)
+                        else:
+                            trig = F.lit(False)
+                        return trig.eqNullSafe(True) \
+                            & _s(dtypes).eqNullSafe(True)
+
+                    branches.append((pd_gated,
+                                     self._root_claims(s, psp)))
         # a nested (non-top) unevaluatedProperties evaluates every
         # residual key itself, so a SUCCESSFUL branch carrying one has
         # claimed the whole key set — same shape as additionalProperties
@@ -919,6 +981,15 @@ class ColumnarValidator:
         for comb in ("allOf", "anyOf", "oneOf"):
             if isinstance(sub.get(comb), list) and _ge(draft, DRAFT4):
                 self._compile_combinator(name, comb, sub[comb], f"{sp}/{comb}")
+        # draft-3 extends = conjunction (allOf's ancestor); unknown and
+        # ignored in every other draft
+        if draft == DRAFT3 and sub.get("extends") is not None:
+            ext = sub["extends"]
+            subs = ext if isinstance(ext, list) else [ext]
+            subs = [s for s in subs if isinstance(s, (dict, bool))]
+            if subs:
+                self._compile_combinator(name, "allOf", subs,
+                                         f"{sp}/extends")
         if isinstance(sub.get("not"), dict) and _ge(draft, DRAFT4):
             inner = ColumnarValidator({"properties": {name: sub["not"]}},
                                       draft=self.draft,
@@ -1398,6 +1469,21 @@ class ColumnarValidator:
             return F.map_contains_key(col, F.lit(k))
         return None
 
+    @staticmethod
+    def _obj_strval_eq(col: Column, dt: T.DataType, k: str, v: str):
+        """key ``k`` holds STRING value ``v`` (propertyDependencies
+        trigger), or None when the column isn't an object."""
+        if isinstance(dt, T.StructType):
+            if k in dt.fieldNames() \
+                    and isinstance(dt[k].dataType, T.StringType):
+                return col.getField(k).eqNullSafe(F.lit(v))
+            return F.lit(False)
+        if isinstance(dt, T.MapType):
+            if isinstance(dt.valueType, T.StringType):
+                return F.element_at(col, F.lit(k)).eqNullSafe(F.lit(v))
+            return F.lit(False)
+        return None
+
     def _compile_dependent_keywords(self, name: str, sub: dict, sp: str):
         """Property-level dependentRequired / dependentSchemas (2019+)
         and the combined pre-2019 `dependencies` over struct/map columns
@@ -1456,6 +1542,31 @@ class ColumnarValidator:
                               [x for x in v if isinstance(x, str)], dsp)
                 elif isinstance(v, (dict, bool)):
                     schema_check("dependencies", k, v, dsp)
+        # draft-next propertyDependencies: key k holding string value v
+        # triggers the (k, v) schema (c_property_dependencies parity)
+        pdeps = sub.get("propertyDependencies")
+        if isinstance(pdeps, dict) and _ge(draft, DNEXT):
+            for prop, m in pdeps.items():
+                if not isinstance(m, dict):
+                    continue
+                for sval, s in m.items():
+                    if not isinstance(s, (dict, bool)) \
+                            or not isinstance(sval, str):
+                        continue
+                    psp = f"{sp}/propertyDependencies/{prop}/{sval}"
+                    pred = self._fragment_pred(s, psp)
+
+                    def build_pd(col, dt, _p=prop, _v=sval, _pred=pred):
+                        trig = self._obj_strval_eq(col, dt, _p, _v)
+                        if trig is None:
+                            return F.lit(True)
+                        return F.when(trig,
+                                      _pred(col, dt).eqNullSafe(True)) \
+                                .otherwise(F.lit(True))
+
+                    self._add(name, "propertyDependencies", psp,
+                              f"dependent schema for {prop}={sval!r} "
+                              f"failed", "error", build_pd)
 
     def _compile_struct_keywords(self, name: str, sub: dict, sp: str):
         """Object keywords over typed struct columns: per-field predicate
@@ -1597,17 +1708,17 @@ class ColumnarValidator:
     # claims EVERYTHING on success (the nested keyword evaluates every
     # residual key/item itself); 2019+ `dependencies` is not a keyword
     # (interp drops it from the table) so it neither validates nor
-    # claims.  Acyclic local $ref is gone before compilation
-    # (inline_local_refs).  Only applicators this algebra genuinely
-    # cannot model statically still route to the Arrow interp via
-    # UnsupportedKeyword, the compiler's standing escape hatch:
-    # non-inlinable refs ($ref left by a cycle or external target,
-    # $dynamicRef, $recursiveRef), draft-3 extends, and draft-next
-    # propertyDependencies.
+    # claims; draft-next propertyDependencies claims like
+    # dependentSchemas (string-trigger AND schema success); draft-3
+    # extends never coexists with unevaluated* (different eras) and is
+    # unknown-ignored in 2019+.  Acyclic local $ref is gone before
+    # compilation (inline_local_refs).  Only the REFERENCE family the
+    # inliner could not resolve still routes to the Arrow interp via
+    # UnsupportedKeyword, the compiler's standing escape hatch: $ref
+    # left by a cycle or external target, $dynamicRef, $recursiveRef.
 
     _CLAIM_UNSAFE = frozenset({
         "$ref", "$dynamicRef", "$recursiveRef",
-        "propertyDependencies", "extends",
     })
 
     def _claim_patterns(self, frag):
@@ -1706,6 +1817,28 @@ class ColumnarValidator:
 
                 branches.append((ds_gated,
                                  self._object_claims(s, name, dsp)))
+        # propertyDependencies claims: (key holds the string) AND the
+        # dependent schema succeeds
+        pdeps = frag.get("propertyDependencies")
+        if isinstance(pdeps, dict) and _ge(self.draft, DNEXT):
+            for prop, m in pdeps.items():
+                if not isinstance(m, dict):
+                    continue
+                for sval, s in m.items():
+                    if not isinstance(s, dict) or s == {} \
+                            or not isinstance(sval, str):
+                        continue
+                    psp = f"{sp}/propertyDependencies/{prop}/{sval}"
+                    s_pred = self._fragment_pred(s, psp)
+
+                    def pd_gated(col, dt, _p=prop, _v=sval, _s=s_pred):
+                        trig = self._obj_strval_eq(col, dt, _p, _v)
+                        if trig is None:
+                            return F.lit(False)
+                        return trig & _s(col, dt).eqNullSafe(True)
+
+                    branches.append((pd_gated,
+                                     self._object_claims(s, name, psp)))
         all_keys = "additionalProperties" in frag or (
             not top and "unevaluatedProperties" in frag)
         return {"names": names, "patterns": self._claim_patterns(frag),

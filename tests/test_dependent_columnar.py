@@ -190,3 +190,84 @@ def test_root_property_names_and_counts(spark):
     # row1: names ok, 2 props; row2: 0 props < minProperties;
     # row3: Bad9 violates propertyNames AND 3 > maxProperties
     assert got == [True, False, False]
+
+
+DNEXT = "draft-next"
+
+
+def test_draft3_extends_columnar(spark):
+    """draft-3 extends is conjunctive — lowered like allOf at root and
+    property level (r5)."""
+    schema = {"properties": {
+        "obj": {"minimum": 1, "extends": [{"maximum": 5},
+                                          {"divisibleBy": 2}]}}}
+    df = spark.createDataFrame([(2.0,), (4.0,), (3.0,), (0.0,), (6.0,)],
+                               "obj double")
+    cv = ColumnarValidator(schema, draft="draft3")
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).collect()]
+    assert got == [True, True, False, False, False]
+
+    # root-level extends over the flat table
+    root = {"properties": {"a": {"minimum": 1}},
+            "extends": {"properties": {"a": {"maximum": 5}}}}
+    df2 = spark.createDataFrame([(3.0,), (9.0,), (0.0,)], "a double")
+    cv2 = ColumnarValidator(root, draft="draft3")
+    got2 = [r["valid"] for r in cv2.apply(df2).collect()]
+    assert got2 == [True, False, False]
+
+    # any other draft ignores extends entirely (unknown keyword)
+    cv3 = ColumnarValidator(schema, draft="draft7")
+    got3 = [r["valid"] for r in cv3.apply(df).collect()]
+    assert got3 == [True, True, True, False, True]  # only minimum binds
+
+
+def test_property_dependencies_draft_next(spark):
+    """draft-next propertyDependencies over struct columns and the flat
+    root table, including its claims feeding unevaluatedProperties."""
+    import json
+
+    from m3spark.sparkval import validate_json
+
+    schema = {"$schema":
+              "https://json-schema.org/draft/next/schema",
+              "properties": {"obj": {
+                  "propertyDependencies": {
+                      "kind": {"file": {"required": ["path"]},
+                               "url": {"required": ["href"]}}}}}}
+    rows = [(("file", "/x", None),), (("file", None, None),),
+            (("url", None, "http://x"),), (("other", None, None),),
+            ((None, None, None),)]
+    df = spark.createDataFrame(
+        rows, "obj struct<kind: string, path: string, href: string>")
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).collect()]
+    docs = [json.dumps({"obj": {k: v for k, v in
+                                zip(("kind", "path", "href"), r[0])
+                                if v is not None}}) for r in rows]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema).collect()]
+    assert got == interp == [True, False, True, True, True]
+
+    # root-level + claims: triggered-and-successful dependent schema
+    # claims its properties for unevaluatedProperties
+    root = {"$schema": "https://json-schema.org/draft/next/schema",
+            "properties": {"kind": {}},
+            "propertyDependencies": {
+                "kind": {"file": {"properties": {"path": {}}}}},
+            "unevaluatedProperties": False}
+    df2 = spark.createDataFrame(
+        [("file", "/x"), ("url", "/x"), ("file", None)],
+        "kind string, path string")
+    cv2 = ColumnarValidator(root)
+    got2 = [r["valid"] for r in cv2.apply(df2).collect()]
+    docs2 = [json.dumps({k: v for k, v in zip(("kind", "path"), r)
+                         if v is not None})
+             for r in [("file", "/x"), ("url", "/x"), ("file", None)]]
+    interp2 = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs2], "doc string"),
+        root).collect()]
+    # kind=file claims path; kind=url leaves path unevaluated
+    assert got2 == interp2 == [True, False, True]

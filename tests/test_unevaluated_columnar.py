@@ -253,9 +253,7 @@ def test_items_schema_claims_everything(spark):
     {"$ref": "#/$defs/cyc", "unevaluatedProperties": False},
     # dynamic scope cannot be resolved statically
     {"$dynamicRef": "#meta", "unevaluatedProperties": False},
-    # draft-next propertyDependencies claims are not modeled
-    {"propertyDependencies": {"a": {"x": {"properties": {"b": {}}}}},
-     "unevaluatedProperties": False},
+    {"$recursiveRef": "#", "unevaluatedProperties": False},
 ])
 def test_unsupported_claims_route_to_interp(frag):
     with pytest.raises(UnsupportedKeyword):
