@@ -6,10 +6,10 @@ cell — over struct columns, map columns, the flat root table, and
 array columns.  Shapes mirror tests/test_unevaluated_matrix.py's
 evaluator alphabet over the applicators the property-level compiler
 supports (allOf/anyOf/oneOf, if/then/else, dependentSchemas, acyclic
-$ref via eager inlining, nested unevaluated*; only non-inlinable refs
-— cycles, external, $dynamicRef/$recursiveRef — plus draft-3 extends
-and draft-next propertyDependencies still route to the interp via
-UnsupportedKeyword — pinned below).  Reference semantics:
+$ref via eager inlining, draft-3 extends, draft-next
+propertyDependencies, nested unevaluated*; only non-inlinable refs —
+cycles, external, $dynamicRef/$recursiveRef — still route to the
+interp via UnsupportedKeyword — pinned below).  Reference semantics:
 property.cljc:268-293, 1083-1095."""
 
 from __future__ import annotations
