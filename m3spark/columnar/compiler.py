@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from m3spark.columnar.inline import inline_local_refs
 from m3spark.schema.core import (
-    DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, _ge, draft_of,
+    DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, D2020, _ge, draft_of,
     meta_validate_schema,
 )
 from m3spark.schema.formats import (
@@ -868,7 +868,11 @@ class ColumnarValidator:
                     preds.append(col.isin(*scalars))
                 for x in ok:
                     if isinstance(x, list):
-                        preds.append(col.eqNullSafe(_array_lit(x, dt)))
+                        # element needing the exact path (huge int /
+                        # float-vs-integral) -> per-element predicate
+                        preds.append(_eq_lit_any(col, dt, x)
+                                     if _lit_needs_eq(x, dt)
+                                     else col.eqNullSafe(_array_lit(x, dt)))
                     elif _needs_eq_path(x, dt):
                         preds.append(_eq_lit(col, dt, x))
                 return _reduce_or(preds)
@@ -885,7 +889,9 @@ class ColumnarValidator:
                 if not _value_compat(_c, dt):
                     return F.lit(False)
                 if isinstance(_c, list):
-                    return col.eqNullSafe(_array_lit(_c, dt))
+                    return (_eq_lit_any(col, dt, _c)
+                            if _lit_needs_eq(_c, dt)
+                            else col.eqNullSafe(_array_lit(_c, dt)))
                 if _needs_eq_path(_c, dt):
                     return _eq_lit(col, dt, _c)
                 return col == F.lit(_c)
@@ -1258,11 +1264,16 @@ class ColumnarValidator:
                       arr_guard(lambda col, et:
                                 F.size(col) == F.size(F.array_distinct(col))))
         items = sub.get("items")
+        # items applies past the prefixItems window only in 2020-12/next
+        # (prefixItems is an unknown keyword before then — interp
+        # c_items gates the offset identically, schema/core.py:1335)
+        pfx_offset = len(sub["prefixItems"]) \
+            if (self.draft in (D2020, DNEXT)
+                and isinstance(sub.get("prefixItems"), list)) else 0
         if items is False:
             # 2020-12: items applies only past the prefixItems window,
             # so false forbids elements BEYOND the prefix, not all
-            n_pfx = len(sub["prefixItems"]) \
-                if isinstance(sub.get("prefixItems"), list) else 0
+            n_pfx = pfx_offset
             self._add(name, "items", f"{sp}/items",
                       "items: false allows no elements past the prefix",
                       "error",
@@ -1270,8 +1281,7 @@ class ColumnarValidator:
                                 F.size(col) <= _n))
         elif isinstance(items, dict):
             builders = self._nested_builders(items, f"{sp}/items")
-            n_prefix = len(sub.get("prefixItems") or []) \
-                if isinstance(sub.get("prefixItems"), list) else 0
+            n_prefix = pfx_offset
             if builders:
                 def build_items(col, et, _b=tuple(builders), _n=n_prefix):
                     target = col if _n == 0 else F.slice(
@@ -2265,6 +2275,33 @@ def _eq_lit(col: Column, dt: T.DataType, x) -> Column:
         if x.is_integer() and -(2**63) <= x < 2**63:
             return col == F.lit(int(x))
         return F.lit(False)
+    return col == F.lit(x)
+
+
+def _lit_needs_eq(x, dt: T.DataType) -> bool:
+    """_needs_eq_path extended through array literals: True when any
+    element (recursively) needs the exact-equality path (r6 advice —
+    a huge-int element would crash F.lit at plan build; a float element
+    vs integral element type loses exactness at >= 2^53)."""
+    if isinstance(x, list):
+        et = dt.elementType if isinstance(dt, T.ArrayType) else dt
+        return any(_lit_needs_eq(e, et) for e in x)
+    return _needs_eq_path(x, dt)
+
+
+def _eq_lit_any(col: Column, dt: T.DataType, x) -> Column:
+    """col json-= literal ``x`` with element-wise exactness for array
+    literals; never-NULL (null/absent column value -> False)."""
+    if isinstance(x, list):
+        et = dt.elementType if isinstance(dt, T.ArrayType) else dt
+        parts = [F.size(col) == F.lit(len(x))]
+        for i, e in enumerate(x):
+            parts.append(F.coalesce(
+                _eq_lit_any(F.element_at(col, i + 1), et, e),
+                F.lit(False)))
+        return F.coalesce(_reduce_and(parts), F.lit(False))
+    if _needs_eq_path(x, dt):
+        return _eq_lit(col, dt, x)
     return col == F.lit(x)
 
 

@@ -31,8 +31,23 @@ hatch routes it to the interpreter) whenever it sees:
   be resolved statically);
 - a nested ``$id``/``id`` that changes the base URI (non-fragment
   value below the root), which would alter pointer resolution;
-- a reference cycle (recursive schemas keep their interp route);
+- a NON-PRODUCTIVE reference cycle (a ``$ref`` loop that re-enters
+  itself without descending through any data-structural keyword —
+  unrolling it would never consume input depth);
 - expansion beyond a node budget (diamond-DAG blow-up guard).
+
+PRODUCTIVE cycles — recursion that passes through ``properties`` /
+``items`` / another data-descent keyword (the linked-list / tree
+idiom, reference lazy resolution at property.cljc:204-295) — are
+UNROLLED ``unroll`` levels (default 8, ``M3SPARK_REF_UNROLL``).  Spark
+column types are finite trees, so the unrolled plan is EXACT for every
+input whose type nests no deeper than the unroll depth: the compiler's
+type-driven builder descent simply never reaches the cut.  At the cut
+the inliner plants ``{"x-m3-unroll-guard": <ref>}``; the compiler
+lowers that to a builder that raises ``UnsupportedKeyword`` at
+``apply()`` time IF AND ONLY IF the input column type actually nests
+deeper than the unroll — i.e. deeper-typed tables still route to the
+Arrow interpreter, shallow ones stay pure JVM.
 
 Only the tree positions that hold schemas are rewritten — literal
 values under ``enum`` / ``const`` / ``default`` / ``examples`` are
@@ -42,11 +57,24 @@ never touched.
 
 from __future__ import annotations
 
+import logging
+import os
 from urllib.parse import unquote
 
 from m3spark.schema.core import DRAFT3, DRAFT4, D2019, _ge
 
-__all__ = ["inline_local_refs"]
+__all__ = ["inline_local_refs", "UNROLL_GUARD_KEY"]
+
+_log = logging.getLogger(__name__)
+
+# marker planted at a productive-cycle cut; the compiler lowers it to a
+# builder that raises UnsupportedKeyword only when the input type is
+# deep enough to reach it (never a real JSON Schema keyword)
+UNROLL_GUARD_KEY = "x-m3-unroll-guard"
+
+
+def _default_unroll() -> int:
+    return int(os.environ.get("M3SPARK_REF_UNROLL", "8"))
 
 # keys whose value is one schema (or draft-dependent single-schema form)
 _SINGLE_SCHEMA_KEYS = (
@@ -69,20 +97,36 @@ _STRIP_KEYS = frozenset({"$defs", "definitions", "$anchor",
 
 _NODE_BUDGET = 20_000
 
+# keywords whose subschema applies to a CHILD value (consumes input
+# depth) — a $ref cycle is productive, and therefore unrollable, only
+# if every loop passes through one of these
+_DATA_DESCENT_KEYS = frozenset({
+    "properties", "patternProperties", "additionalProperties",
+    "items", "prefixItems", "additionalItems", "contains",
+    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    "contentSchema",
+})
+# sentinel pushed on the expansion stack at each data descent
+_DESCENT = "*"
+
 
 class _GiveUp(Exception):
     """Transform cannot be done safely; caller keeps the original."""
 
 
-def inline_local_refs(schema, draft: str):
-    """Return ``schema`` with every local ``$ref`` eagerly expanded, or
-    ``schema`` unchanged if any reference cannot be inlined safely."""
+def inline_local_refs(schema, draft: str, unroll: int | None = None):
+    """Return ``schema`` with every local ``$ref`` eagerly expanded
+    (productive cycles unrolled ``unroll`` levels, cut with
+    ``UNROLL_GUARD_KEY`` markers), or ``schema`` unchanged if any
+    reference cannot be handled safely."""
     if not isinstance(schema, dict):
         return schema
     try:
         if not _contains_ref(schema):
             return schema
-        return _Inliner(schema, draft).run()
+        return _Inliner(schema, draft,
+                        _default_unroll() if unroll is None
+                        else unroll).run()
     except _GiveUp:
         return schema
 
@@ -101,13 +145,17 @@ def _contains_ref(node) -> bool:
 
 
 class _Inliner:
-    def __init__(self, root: dict, draft: str):
+    def __init__(self, root: dict, draft: str, unroll: int = 8):
         self.root = root
         self.draft = draft
+        self.unroll = max(0, unroll)
         self.meld = _ge(draft, D2019)
         self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
         self.anchors: dict[str, object] = {}
         self.budget = _NODE_BUDGET
+        # dict nodes the feasibility scan has covered (by identity);
+        # pointer targets outside known schema positions get a late scan
+        self._visited: set[int] = set()
         self._scan(root, top=True)
 
     # -- pre-scan: feasibility + anchor table ---------------------------
@@ -120,6 +168,7 @@ class _Inliner:
             return
         if not isinstance(node, dict):
             return
+        self._visited.add(id(node))
         if "$dynamicRef" in node or "$recursiveRef" in node:
             raise _GiveUp("dynamic/recursive ref")
         r = node.get("$ref")
@@ -175,6 +224,8 @@ class _Inliner:
 
     def _add_anchor(self, name: str, node):
         if name in self.anchors:
+            if self.anchors[name] is node:
+                return  # idempotent re-scan of the same subtree
             raise _GiveUp(f"duplicate anchor {name!r}")
         self.anchors[name] = node
 
@@ -196,6 +247,13 @@ class _Inliner:
                     node = node[int(tok)]
                 else:
                     raise _GiveUp(f"unresolvable pointer {ref!r}")
+            # a pointer may land in a document position the feasibility
+            # pre-scan never walked (under an unknown keyword, inside
+            # enum/const data, ...).  Run the same scan late over the
+            # target subtree so the dynamic-ref / nested-$id /
+            # external-ref guards hold there too (r6 advice).
+            if isinstance(node, dict) and id(node) not in self._visited:
+                self._scan(node)
             return node, f"#{frag}"
         if frag in self.anchors:
             return self.anchors[frag], f"#anchor:{frag}"
@@ -204,14 +262,19 @@ class _Inliner:
     # -- transform ------------------------------------------------------
 
     def run(self):
-        return self._schema(self.root, frozenset(), top=True)
+        return self._schema(self.root, (), top=True)
 
     def _spend(self):
         self.budget -= 1
         if self.budget <= 0:
             raise _GiveUp("expansion budget exceeded")
 
-    def _schema(self, node, stack: frozenset, top=False):
+    def _schema(self, node, stack: tuple, top=False):
+        """``stack`` holds the cycle keys of in-flight expansions plus a
+        ``_DESCENT`` sentinel per data-structural descent; re-entering a
+        key with no descent since its last occurrence is a
+        non-productive loop (GiveUp), re-entering through descent
+        unrolls up to ``self.unroll`` times, then cuts with a guard."""
         if isinstance(node, bool) or node is None:
             return node
         if not isinstance(node, dict):
@@ -220,9 +283,21 @@ class _Inliner:
         r = node.get("$ref")
         if isinstance(r, str):
             target, key = self._resolve(r)
-            if key in stack:
-                raise _GiveUp(f"reference cycle through {r!r}")
-            expanded = self._schema(target, stack | {key})
+            tail_start = 0
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i] == _DESCENT:
+                    tail_start = i + 1
+                    break
+            if key in stack[tail_start:]:
+                raise _GiveUp(f"non-productive cycle through {r!r}")
+            if key in stack and stack.count(key) >= self.unroll:
+                _log.info(
+                    "recursive $ref %s unrolled %d levels; deeper input "
+                    "types raise UnsupportedKeyword at apply()",
+                    r, self.unroll)
+                expanded = {UNROLL_GUARD_KEY: r}
+            else:
+                expanded = self._schema(target, stack + (key,))
             if not self.meld:
                 # drafts <= 7: $ref replaces every sibling
                 return expanded

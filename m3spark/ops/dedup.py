@@ -76,8 +76,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     scan, one distinct shuffle, one frequency agg, one window shuffle)
     executes ONCE and both sides of the pair join read the cache; the
     per-doc shingle count rides along as a window over ``_id`` instead
-    of a separate aggregate joined back twice.  Callers that loop over
-    corpora can release the cache with ``spark.catalog.clearCache()``.
+    of a separate aggregate joined back twice.  The cached relation is
+    exposed as ``result.cached_shingles`` — long-lived sessions that
+    loop over corpora should call
+    ``result.cached_shingles.unpersist()`` once the returned plan has
+    been consumed (targeted release; ``spark.catalog.clearCache()``
+    would drop unrelated caches too).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -109,11 +113,14 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                  F.min("a.sz").alias("size_a"),
                  F.min("b.sz").alias("size_b")))
     union = F.col("size_a") + F.col("size_b") - F.col("inter_count")
-    return (out.where(F.col("inter_count") * threshold_den
-                      >= union * threshold_num)
-               .select("id_a", "id_b", "inter_count", "size_a", "size_b",
-                       F.round(F.col("inter_count") / union, 6)
-                        .alias("jaccard")))
+    res = (out.where(F.col("inter_count") * threshold_den
+                     >= union * threshold_num)
+              .select("id_a", "id_b", "inter_count", "size_a", "size_b",
+                      F.round(F.col("inter_count") / union, 6)
+                       .alias("jaccard")))
+    # handle for targeted cache release (see docstring)
+    res.cached_shingles = sh
+    return res
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,

@@ -167,3 +167,48 @@ def test_uri_zone_id_parity(spark):
     mism = [(u, {"python": check_uri(u), "columnar": got[u]})
             for u in ZONE_URIS if got[u] != check_uri(u)]
     assert not mism, f"zone-id disagreement: {mism}"
+
+
+def test_array_literal_exact_equality_paths(spark):
+    """r6 advice: enum/const ARRAY literals whose elements need the
+    exact-equality path must neither crash plan build (huge-int element
+    -> F.lit py4j overflow) nor lose exactness (float element vs
+    integral elementType at >= 2^53) — per-element predicate route
+    (_eq_lit_any), interp parity throughout."""
+    import json
+
+    from m3spark.columnar import ColumnarValidator
+    from m3spark.sparkval import validate_json
+
+    def parity(schema, col_ddl, vals, expected):
+        df = spark.createDataFrame([(v,) for v in vals], col_ddl)
+        cv = ColumnarValidator(schema)
+        got = [r["valid"] for r in cv.apply(df).collect()]
+        name = col_ddl.split()[0]
+        docs = [json.dumps({} if v is None else {name: v})
+                for v in vals]
+        interp = [r["valid"] for r in validate_json(
+            spark.createDataFrame([(x,) for x in docs], "doc string"),
+            schema).collect()]
+        assert got == interp == expected, (schema, got, interp)
+
+    # huge-int element: pre-fix this crashed at plan build (lit(2^63))
+    parity({"properties": {"a": {"enum": [[2**63, 1], [1, 2]]}}},
+           "a array<bigint>",
+           [[9223372036854775807, 1], [1, 2], [], None],
+           [False, True, False, True])
+    # int element beyond 2^53 vs double elements: mathematical equality
+    parity({"properties": {"b": {"const": [2**53]}}},
+           "b array<double>",
+           [[float(2**53)], [float(2**53) + 2.0], None],
+           [True, False, True])
+    # non-double-representable int element equals NO double
+    parity({"properties": {"b": {"const": [2**53 + 1]}}},
+           "b array<double>",
+           [[float(2**53)], [float(2**53) + 2.0], None],
+           [False, False, True])
+    # float elements vs integral elementType: exact, not SQL coercion
+    parity({"properties": {"c": {"enum": [[1.0, 2.0]]}}},
+           "c array<bigint>",
+           [[1, 2], [1, 3], None],
+           [True, False, True])

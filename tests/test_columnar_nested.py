@@ -235,6 +235,45 @@ def test_boolean_contains_and_items_false_with_prefix(spark):
         assert got == interp == expected, (schema, got, interp)
 
 
+def test_items_prefix_offset_is_draft_gated(spark):
+    """r6 advice: the prefixItems window offset on `items` applies only
+    in 2020-12/next (pre-2020 `prefixItems` is an unknown keyword, so
+    `items` covers the whole array — interp c_items gates identically,
+    schema/core.py:1334)."""
+    import json
+
+    from m3spark.sparkval import validate_json
+
+    df = spark.createDataFrame(
+        [([],), (["1"],), (["1", "2"],), (["x", "1"],), (None,)],
+        "v array<string>")
+    docs = [json.dumps(d) for d in
+            ({"v": []}, {"v": ["1"]}, {"v": ["1", "2"]},
+             {"v": ["x", "1"]}, {})]
+    ddf = spark.createDataFrame([(x,) for x in docs], "doc string")
+    body_false = {"prefixItems": [{"type": "string"}], "items": False}
+    body_schema = {"prefixItems": [{}],
+                   "items": {"pattern": "^[0-9]+$"}}
+    for draft, body, expected in [
+        # 2020-12: items skips the one-element prefix window
+        ("draft2020-12", body_false, [True, True, False, False, True]),
+        # 2019-09: prefixItems unknown -> items:false forbids ANY element
+        ("draft2019-09", body_false, [True, False, False, False, True]),
+        # 2020-12: element 0 exempt from the pattern
+        ("draft2020-12", body_schema, [True, True, True, True, True]),
+        # 2019-09: pattern applies from element 0
+        ("draft2019-09", body_schema, [True, True, True, False, True]),
+        # draft-7 spot check matches 2019-09
+        ("draft7", body_schema, [True, True, True, False, True]),
+    ]:
+        schema = {"properties": {"v": dict(body)}}
+        cv = ColumnarValidator(schema, draft=draft)
+        got = [r["valid"] for r in cv.apply(df).collect()]
+        interp = [r["valid"] for r in
+                  validate_json(ddf, schema, draft=draft).collect()]
+        assert got == interp == expected, (draft, body, got, interp)
+
+
 def test_draft3_union_type_with_schema_member(spark):
     """draft-3 union `type` may embed schema members: the columnar
     engine must OR the member-schema predicate in (r5 sweep find)."""

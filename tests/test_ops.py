@@ -41,6 +41,19 @@ def test_jaccard_pairs(docs):
     assert not any(3 in p for p in got)               # unrelated doc
 
 
+def test_jaccard_cache_handle_unpersists(docs):
+    """r6 advice: the persisted shingle table is exposed as
+    ``cached_shingles`` so long-lived sessions can release it without
+    clearing unrelated caches."""
+    pairs = jaccard_pairs(docs, "doc_id", "text", k=4, stride=1,
+                          threshold_num=1, threshold_den=2)
+    pairs.collect()
+    sh = pairs.cached_shingles
+    assert sh.storageLevel.useMemory or sh.storageLevel.useDisk
+    sh.unpersist(blocking=True)
+    assert not (sh.storageLevel.useMemory or sh.storageLevel.useDisk)
+
+
 def test_jaccard_hot_shingle_cap(docs):
     """max_shingle_freq drops shingles shared by more than N docs before
     the pair join (bounds the quadratic fan-out); near-dup pairs that

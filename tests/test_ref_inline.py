@@ -171,3 +171,83 @@ def test_ref_in_dependent_schema(spark):
     rows = [(1, "x"), (1, None), (None, None)]
     got = _parity(spark, schema, rows, "a int, b string", ("a", "b"))
     assert got == [True, False, True]
+
+
+# -- r6 advice: late feasibility scan of pointer targets outside known
+# -- schema positions (inline.py _resolve) ------------------------------
+
+def test_pointer_into_unknown_position_nested_id_gives_up():
+    """A $ref landing under an unknown keyword whose subtree changes the
+    base URI must NOT inline (inner refs would silently resolve against
+    the wrong base)."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "$defs": {"pos": {"type": "integer", "minimum": 1}},
+        "x-templates": {"t": {"$id": "https://elsewhere.example/s",
+                              "properties": {"p": {"$ref": "#/$defs/pos"}}}},
+        "properties": {"a": {"$ref": "#/x-templates/t"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_pointer_into_unknown_position_dynamic_ref_gives_up():
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "x-templates": {"t": {"$dynamicRef": "#it"}},
+        "properties": {"a": {"$ref": "#/x-templates/t"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_pointer_into_unknown_position_external_ref_gives_up():
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "x-templates": {"t": {"$ref": "https://example.com/s.json"}},
+        "properties": {"a": {"$ref": "#/x-templates/t"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_pointer_into_unknown_position_clean_target_inlines():
+    """The late scan must not over-fire: a clean subtree under an
+    unknown keyword still inlines."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "x-templates": {"t": {"type": "integer", "minimum": 1}},
+        "properties": {"a": {"$ref": "#/x-templates/t"}},
+    }
+    out = inline_local_refs(schema, "draft2020-12")
+    assert out is not schema
+    assert out["properties"]["a"] == {"type": "integer", "minimum": 1}
+
+
+def test_overlapping_unscanned_targets_anchor_idempotent():
+    """Two pointers into nested positions of the same unscanned subtree:
+    the second (outer) scan re-sees the inner $anchor — must stay
+    idempotent, not a spurious duplicate-anchor GiveUp."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "x-templates": {
+            "outer": {"properties": {
+                "q": {"$anchor": "qq", "type": "string"}}},
+        },
+        "properties": {
+            "a": {"$ref": "#/x-templates/outer/properties/q"},
+            "b": {"$ref": "#/x-templates/outer"},
+        },
+    }
+    out = inline_local_refs(schema, "draft2020-12")
+    assert out is not schema
+    assert out["properties"]["a"] == {"type": "string"}
+    assert out["properties"]["b"] == {
+        "properties": {"q": {"type": "string"}}}
