@@ -612,15 +612,21 @@ RECURSIVE_SCHEMA = {
 
 
 def q_val_recursive_ref(spark, sf_dir):
-    """$ref recursion through the Arrow interpreter (§2.8), driver-
-    oracle-checked: each doc_id becomes a linked-list JSON document of
-    depth (doc_id %% 4) + 1 with node values (doc_id*7 + depth) %% 120,
-    validated against a self-referential #/$defs/node schema.  The
-    oracle re-derives every expected `maximum` violation — doc_id, the
-    /child/child/.../v JSON-pointer doc path, and the offending value —
-    from the same closed form, so a broken $ref resolution, a lost
-    recursion level, or a wrong pointer path all hash-mismatch."""
-    from m3spark.sparkval import validate_json, violation_rows
+    """Recursive $ref compiled COLUMNAR via bounded unroll (§2.8;
+    reference lazy resolution property.cljc:204-295): each doc_id
+    becomes a linked-list JSON document of depth (doc_id %% 4) + 1 with
+    node values (doc_id*7 + depth) %% 120, parsed to a typed struct
+    (from_json, pure JVM) and validated against a self-referential
+    #/$defs/node schema — inline.py unrolls the productive cycle 8
+    levels, the column type nests 4, so the whole plan is 0-Python JVM
+    codegen; a table typed deeper than the unroll raises
+    UnsupportedKeyword at apply and routes to the Arrow interp instead.
+    The oracle re-derives every expected `maximum` violation — doc_id,
+    the /child/child/.../v JSON-pointer doc path, and the offending
+    value — from the same closed form, so a broken $ref resolution, a
+    lost recursion level, a wrong pointer path, or a wrong leaf value
+    all hash-mismatch."""
+    from m3spark.columnar import ColumnarValidator
 
     parts_by_depth = []
     for d in range(1, 5):
@@ -635,10 +641,15 @@ def q_val_recursive_ref(spark, sf_dir):
     doc = parts_by_depth[0]
     for d in range(2, 5):
         doc = F.when(dep == d, parts_by_depth[d - 1]).otherwise(doc)
-    docs = _t(spark, sf_dir, "documents").select("doc_id",
-                                                 doc.alias("doc"))
-    out = validate_json(docs, RECURSIVE_SCHEMA, doc_col="doc")
-    return (violation_rows(out, key_col="doc_id")
+    ddl = "struct<v:int>"
+    for _ in range(3):
+        ddl = f"struct<v:int,child:{ddl}>"
+    typed = (_t(spark, sf_dir, "documents")
+             .select("doc_id", F.from_json(doc, ddl).alias("s"))
+             .select("doc_id", F.col("s.v").alias("v"),
+                     F.col("s.child").alias("child")))
+    cv = ColumnarValidator(RECURSIVE_SCHEMA)
+    return (cv.violation_rows(typed, key_col="doc_id")
             .select("doc_id", "keyword", "doc_path", "value"))
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from m3spark.columnar.inline import inline_local_refs
+from m3spark.columnar.inline import UNROLL_GUARD_KEY, inline_local_refs
 from m3spark.schema.core import (
     DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, D2020, _ge, draft_of,
     meta_validate_schema,
@@ -59,6 +59,9 @@ class Check:
     level: str
     build: Callable[[Column, T.DataType], Column]
     doc_path: str | None = None  # defaults to "/<column>" at apply time
+    # navigates from the top-level column to the offending value (nested
+    # checks render the leaf, not the whole struct); None = the column
+    value_of: Callable[[Column, T.DataType], Column] | None = None
 
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -266,7 +269,9 @@ class ColumnarValidator:
                  format_assertion: bool | None = None,
                  force_python_patterns: bool = False,
                  strict: bool = True,
-                 meta_validate: bool = True):
+                 meta_validate: bool = True,
+                 ref_unroll: int | None = None,
+                 inline_refs: bool = True):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         if format_assertion is None:
@@ -290,10 +295,18 @@ class ColumnarValidator:
             return
         # eager driver-side $ref/$defs inlining (SURVEY §2.8): acyclic
         # local refs expand before compilation so the common reuse idiom
-        # stays pure JVM; anything the inliner can't do safely (external
-        # refs, $dynamicRef/$recursiveRef, cycles) keeps the original
-        # schema and routes to the interp via UnsupportedKeyword below
-        self._compile_root(inline_local_refs(schema, self.draft))
+        # stays pure JVM; productive cycles unroll with a depth guard;
+        # anything the inliner can't do safely (external refs,
+        # $dynamicRef/$recursiveRef, non-productive cycles) keeps the
+        # original schema and routes to the interp via UnsupportedKeyword
+        # below.  Inner validators over fragments pass inline_refs=False:
+        # a fragment's `#` pointers address the ORIGINAL root, which the
+        # fragment no longer knows — any $ref the root-level inline left
+        # behind must stay an unsupported keyword, never re-resolve
+        # against the fragment-as-root.
+        self._compile_root(inline_local_refs(schema, self.draft,
+                                             unroll=ref_unroll)
+                           if inline_refs else schema)
         if strict and self.unsupported:
             raise UnsupportedKeyword(
                 f"columnar compiler cannot lower: {self.unsupported}; "
@@ -319,6 +332,7 @@ class ColumnarValidator:
         "if", "then", "else",
         "dependentRequired", "dependentSchemas", "dependencies",
         "extends", "propertyDependencies",
+        UNROLL_GUARD_KEY,
     }
     _ROOT_KEYWORDS = {
         "$schema", "$id", "id", "$defs", "definitions", "type", "properties",
@@ -340,9 +354,14 @@ class ColumnarValidator:
         req = schema.get("required")
         if isinstance(req, list):
             for name in req:
+                # interp convention (c_required): the violation sits at
+                # the OBJECT that is missing the key — the table row,
+                # pointer "" — and renders the row document as value
+                # (apply() special-cases the whole-row to_json)
                 self._add(name, "required", f"{sp}/required",
                           f"required property {name!r} missing",
-                          "error", self._required_builder())
+                          "error", self._required_builder(),
+                          doc_path="")
         props = schema.get("properties")
         if isinstance(props, dict):
             for name, sub in props.items():
@@ -780,7 +799,7 @@ class ColumnarValidator:
             return lambda dtypes: F.lit(False)
         inner = ColumnarValidator(fragment, draft=self.draft,
                                   format_assertion=self.format_assertion,
-                                  strict=False)
+                                  strict=False, inline_refs=False)
         self.unsupported.extend(f"{sp}{u}" for u in inner.unsupported)
         checks = [c for c in inner.checks
                   if not errors_only or c.level == "error"]
@@ -791,7 +810,11 @@ class ColumnarValidator:
                 if c.column == self._ROW_CHECK:
                     parts.append(c.build(None, dtypes))
                 elif c.column not in dtypes:
-                    parts.append(F.lit(c.keyword != "required"))
+                    # only TOP-LEVEL required (doc_path "") fails on an
+                    # absent column; nested required passes (its parent
+                    # property is missing)
+                    parts.append(F.lit(not (c.keyword == "required"
+                                            and c.doc_path == "")))
                 else:
                     parts.append(c.build(F.col(c.column), dtypes[c.column])
                                   .eqNullSafe(True))
@@ -802,7 +825,7 @@ class ColumnarValidator:
         return lambda col, dt: col.isNotNull()
 
     def _add(self, column, keyword, sp, msg, level, build, null_passes=True,
-             doc_path=None):
+             doc_path=None, value_of=None):
         if null_passes and keyword != "required":
             inner = build
             wrapped = lambda col, dt, _b=inner: (  # noqa: E731
@@ -810,7 +833,7 @@ class ColumnarValidator:
             wrapped._jvm = getattr(inner, "_jvm", True)
             build = wrapped
         self.checks.append(Check(column, keyword, sp, msg, level, build,
-                                 doc_path))
+                                 doc_path, value_of))
 
     def _compile_property(self, name: str, sub, sp: str):
         if sub is True or sub == {}:
@@ -824,6 +847,23 @@ class ColumnarValidator:
         for k in sub:
             if k not in self._PROP_KEYWORDS:
                 self.unsupported.append(f"{sp}/{k}")
+        # unroll cut planted by inline.py at a productive $ref cycle:
+        # the builder RAISES — but builders only run when the apply-time
+        # type descent actually reaches this schema position, so tables
+        # whose column types nest no deeper than the unroll stay pure
+        # JVM and deeper-typed tables route to the Arrow interp
+        # (reference lazy resolution analog: property.cljc:204-295)
+        guard = sub.get(UNROLL_GUARD_KEY)
+        if isinstance(guard, str):
+            def build_guard(col, dt, _r=guard):
+                raise UnsupportedKeyword(
+                    f"recursive $ref {_r!r}: column type nests deeper "
+                    f"than the unrolled plan (raise M3SPARK_REF_UNROLL "
+                    f"or use m3spark.sparkval.validate_json)")
+            build_guard._jvm = True
+            self._add(name, "$ref", f"{sp}/$ref",
+                      "recursion beyond unroll depth", "error",
+                      build_guard, null_passes=False)
         draft = self.draft
         old = draft in (DRAFT3, DRAFT4)
 
@@ -1000,7 +1040,7 @@ class ColumnarValidator:
             inner = ColumnarValidator({"properties": {name: sub["not"]}},
                                       draft=self.draft,
                                       format_assertion=self.format_assertion,
-                                      strict=False)
+                                      strict=False, inline_refs=False)
             self.unsupported.extend(inner.unsupported)
             builders = [c.build for c in inner.checks]
             self._add(name, "not", f"{sp}/not", "value matches 'not' schema",
@@ -1097,8 +1137,12 @@ class ColumnarValidator:
 
     _CONTENT_SCALARS = {"type", "minLength", "maxLength", "pattern",
                         "minimum", "maximum", "const", "enum"}
-    _CONTENT_KEYWORDS = _CONTENT_SCALARS | {
-        "properties", "required", "items", "minItems", "maxItems"}
+    _CONTENT_ANNOTATIONS = {"title", "description", "$comment", "default",
+                            "examples", "deprecated", "readOnly",
+                            "writeOnly"}
+    _CONTENT_KEYWORDS = _CONTENT_SCALARS | _CONTENT_ANNOTATIONS | {
+        "properties", "required", "items", "minItems", "maxItems",
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else"}
 
     def _lower_content_schema(self, csch, sp: str) -> list:
         """Lower a contentSchema fragment to predicates over a VARIANT
@@ -1225,7 +1269,7 @@ class ColumnarValidator:
         inner = ColumnarValidator({"properties": {"_e": frag}},
                                   draft=self.draft,
                                   format_assertion=self.format_assertion,
-                                  strict=False)
+                                  strict=False, inline_refs=False)
         self.unsupported.extend(
             u.replace("/properties/_e", sp) for u in inner.unsupported)
         builders = []
@@ -1578,6 +1622,58 @@ class ColumnarValidator:
                               f"dependent schema for {prop}={sval!r} "
                               f"failed", "error", build_pd)
 
+    def _surface_nested_property(self, name: str, pname: str, pschema,
+                                 sp: str):
+        """Compile a nested property's subschema and surface EVERY inner
+        check as its own top-level Check — keyword, schema_path, message
+        and level survive verbatim; the doc_path composes the RFC 6901
+        pointer through the nesting; the offending value renders the
+        LEAF via a getField navigator.  Recursion composes: the inner
+        validator surfaced ITS nested properties the same way, so a
+        check at any struct depth keeps exact violation identity
+        (north-star row shape (key, keyword, json-pointer, message);
+        interp parity with c_properties' join_pointer paths).  A parent
+        missing from the row — NULL struct, field absent from the column
+        type, or the whole column absent from the table — passes every
+        surfaced check (presence semantics)."""
+        from m3spark.schema.uris import join_pointer
+
+        psp = f"{sp}/properties/{pname}"
+        inner = ColumnarValidator({"properties": {"_e": pschema}},
+                                  draft=self.draft,
+                                  format_assertion=self.format_assertion,
+                                  force_python_patterns=self._force_py,
+                                  strict=False, inline_refs=False)
+        self.unsupported.extend(u.replace("/properties/_e", psp, 1)
+                                for u in inner.unsupported)
+        for ic in inner.checks:
+            if not getattr(ic.build, "_jvm", True):
+                self.unsupported.append(
+                    f"{psp}/{ic.keyword} (pandas-UDF check inside a "
+                    f"nested field — not lowerable to getField descent)")
+                continue
+
+            def build(col, dt, _p=pname, _b=ic.build):
+                f, ft = _struct_field(col, dt, _p)
+                if f is None:
+                    return F.lit(True)
+                return F.when(f.isNull(), F.lit(True)).otherwise(_b(f, ft))
+            build._jvm = True
+
+            def value_of(col, dt, _p=pname, _iv=ic.value_of):
+                f, ft = _struct_field(col, dt, _p)
+                if f is None:
+                    return F.lit(None)
+                return _iv(f, ft) if _iv is not None else f
+
+            idp = ic.doc_path if ic.doc_path is not None else "/_e"
+            self.checks.append(Check(
+                name, ic.keyword,
+                ic.schema_path.replace("/properties/_e", psp, 1),
+                ic.message, ic.level, build,
+                doc_path=join_pointer("", name, pname) + idp[len("/_e"):],
+                value_of=value_of))
+
     def _compile_struct_keywords(self, name: str, sub: dict, sp: str):
         """Object keywords over typed struct columns: per-field predicate
         via getField (m3 analog: property.cljc:992-1052; SURVEY §2.4)."""
@@ -1596,35 +1692,24 @@ class ColumnarValidator:
                     else:
                         return F.lit(True)
                     return F.when(col.isNull(), F.lit(True)).otherwise(inner)
+
+                def req_value(col, dt):
+                    # interp parity: the violation's value is the OBJECT
+                    # missing the key, compact-JSON rendered with null
+                    # fields omitted (= absent, the typed-column
+                    # convention) — matches _fmt_value's separators
+                    if isinstance(dt, (T.StructType, T.MapType)):
+                        return F.to_json(col)
+                    return F.lit(None)
                 self._add(name, "required", f"{sp}/required",
                           f"required property {k!r} missing", "error",
-                          build_req, doc_path=f"/{name}/{k}")
+                          build_req, doc_path=f"/{name}",
+                          value_of=req_value)
         if isinstance(props, dict):
             for pname, pschema in props.items():
                 if not isinstance(pschema, dict):
                     continue
-                builders = self._nested_builders(
-                    pschema, f"{sp}/properties/{pname}")
-                if not builders:
-                    continue
-
-                def build(col, dt, _p=pname, _b=tuple(builders)):
-                    if isinstance(dt, T.StructType):
-                        if _p not in dt.fieldNames():
-                            return F.lit(True)
-                        f = col.getField(_p)
-                        ft = dt[_p].dataType
-                    elif isinstance(dt, T.MapType):
-                        f = col.getField(_p)
-                        ft = dt.valueType
-                    else:
-                        return F.lit(True)
-                    return F.when(f.isNull(), F.lit(True)).otherwise(
-                        _reduce_and([b(f, ft) for b in _b]))
-
-                self._add(name, "properties", f"{sp}/properties/{pname}",
-                          f"property {pname!r} violates its schema", "error",
-                          build, doc_path=f"/{name}/{pname}")
+                self._surface_nested_property(name, pname, pschema, sp)
 
         # patternProperties / additionalProperties over STRUCT columns:
         # field names are static, so pattern matching happens at compile
@@ -1886,7 +1971,7 @@ class ColumnarValidator:
         inner = ColumnarValidator({"properties": {"_e": frag}},
                                   draft=self.draft,
                                   format_assertion=self.format_assertion,
-                                  strict=False)
+                                  strict=False, inline_refs=False)
         self.unsupported.extend(
             u.replace("/properties/_e", sp) for u in inner.unsupported)
         builders = []
@@ -1913,7 +1998,7 @@ class ColumnarValidator:
         inner = ColumnarValidator({"properties": {"_e": frag}},
                                   draft=self.draft,
                                   format_assertion=self.format_assertion,
-                                  strict=False)
+                                  strict=False, inline_refs=False)
         self.unsupported.extend(
             u.replace("/properties/_e", sp) for u in inner.unsupported)
         out = []
@@ -2131,7 +2216,7 @@ class ColumnarValidator:
             for i, s in enumerate(subs):
                 inner = ColumnarValidator(
                     {"properties": {name: s}}, draft=self.draft,
-                    format_assertion=self.format_assertion, strict=False)
+                    format_assertion=self.format_assertion, strict=False, inline_refs=False)
                 self.unsupported.extend(inner.unsupported)
                 for c in inner.checks:
                     self.checks.append(Check(
@@ -2145,7 +2230,7 @@ class ColumnarValidator:
             inner = ColumnarValidator({"properties": {name: s}},
                                       draft=self.draft,
                                       format_assertion=self.format_assertion,
-                                      strict=False)
+                                      strict=False, inline_refs=False)
             self.unsupported.extend(inner.unsupported)
             groups.append([c.build for c in inner.checks])
 
@@ -2174,18 +2259,34 @@ class ColumnarValidator:
             if c.column == self._ROW_CHECK:
                 ok = c.build(None, dtypes)
             elif c.column not in dtypes:
-                # column absent from the table: required fails statically,
-                # everything else passes (missing property semantics)
-                ok = F.lit(c.keyword != "required")
+                # column absent from the table: TOP-LEVEL required
+                # (doc_path "", the row object) fails statically;
+                # everything else passes — including nested required,
+                # whose parent property is missing (presence semantics,
+                # c_required parity)
+                ok = F.lit(not (c.keyword == "required"
+                                and c.doc_path == ""))
                 col = None
             else:
                 col = F.col(c.column)
                 ok = c.build(col, dtypes[c.column])
-            if (c.column == self._ROW_CHECK or c.column not in dtypes
+            if c.keyword == "required" and c.doc_path == "":
+                # interp parity: top-level required renders the ROW
+                # document (to_json omits nulls = absent fields)
+                val_expr = F.substring(
+                    F.to_json(F.struct(*[F.col(n) for n in dtypes])),
+                    1, 128)
+            elif (c.column == self._ROW_CHECK or c.column not in dtypes
                     or isinstance(dtypes[c.column], T.BinaryType)):
                 # cross-column checks have no single offending value;
                 # binary payloads have no meaningful textual form
                 val_expr = F.lit(None).cast("string")
+            elif c.value_of is not None:
+                # nested check: render the offending LEAF value (the
+                # navigator returns NULL when the type never gets there)
+                val_expr = F.substring(
+                    c.value_of(col, dtypes[c.column]).cast("string"),
+                    1, 128)
             else:
                 # truncated textual instance value — parity with the
                 # reference's errors carrying :document
@@ -2229,6 +2330,19 @@ class ColumnarValidator:
                         F.col("v.message").alias("message"),
                         F.col("v.level").alias("level"),
                         F.col("v.value").alias("value")))
+
+
+def _struct_field(col: Column, dt: T.DataType, name: str):
+    """(field column, field type) for a named member of a struct/map
+    column, or (None, None) when the column type has no such position —
+    the static signal that a nested check can never fire here."""
+    if isinstance(dt, T.StructType):
+        if name not in dt.fieldNames():
+            return None, None
+        return col.getField(name), dt[name].dataType
+    if isinstance(dt, T.MapType):
+        return col.getField(name), dt.valueType
+    return None, None
 
 
 def _needs_eq_path(x, dt: T.DataType) -> bool:

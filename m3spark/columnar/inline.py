@@ -103,8 +103,12 @@ _NODE_BUDGET = 20_000
 _DATA_DESCENT_KEYS = frozenset({
     "properties", "patternProperties", "additionalProperties",
     "items", "prefixItems", "additionalItems", "contains",
-    "propertyNames", "unevaluatedItems", "unevaluatedProperties",
+    "unevaluatedItems", "unevaluatedProperties",
     "contentSchema",
+    # NOT propertyNames: its fragment is evaluated driver-side by the
+    # interpreter at compile time (build_pn_root), which treats a
+    # planted guard as an unknown-keyword no-op — a cycle through it
+    # must stay a GiveUp, never an unroll
 })
 # sentinel pushed on the expansion stack at each data descent
 _DESCENT = "*"
@@ -313,7 +317,7 @@ class _Inliner:
             return out
         return self._plain(node, stack, top)
 
-    def _plain(self, node: dict, stack: frozenset, top=False):
+    def _plain(self, node: dict, stack: tuple, top=False):
         out = {}
         for k, v in node.items():
             if k in _STRIP_KEYS:
@@ -321,28 +325,32 @@ class _Inliner:
             if k == self.id_key and isinstance(v, str) \
                     and v.startswith("#") and not top:
                 continue  # inert anchor form of $id/id
+            # keywords applying to a CHILD value consume input depth:
+            # mark the descent so a $ref loop through them counts as
+            # productive (unrollable) rather than a flat cycle
+            st = stack + (_DESCENT,) if k in _DATA_DESCENT_KEYS else stack
             if k in _SINGLE_SCHEMA_KEYS:
-                out[k] = self._schema(v, stack)
+                out[k] = self._schema(v, st)
             elif k in _MAP_SCHEMA_KEYS:
-                out[k] = ({n: self._schema(s, stack) for n, s in v.items()}
+                out[k] = ({n: self._schema(s, st) for n, s in v.items()}
                           if isinstance(v, dict) else v)
             elif k in _LIST_SCHEMA_KEYS:
-                out[k] = ([self._schema(s, stack) for s in v]
+                out[k] = ([self._schema(s, st) for s in v]
                           if isinstance(v, list) else v)
             elif k == "items":
-                out[k] = ([self._schema(s, stack) for s in v]
+                out[k] = ([self._schema(s, st) for s in v]
                           if isinstance(v, list)
-                          else self._schema(v, stack))
+                          else self._schema(v, st))
             elif k == "extends":
-                out[k] = ([self._schema(s, stack) for s in v]
+                out[k] = ([self._schema(s, st) for s in v]
                           if isinstance(v, list)
-                          else self._schema(v, stack))
+                          else self._schema(v, st))
             elif k == "dependencies" and isinstance(v, dict):
-                out[k] = {n: (self._schema(s, stack)
+                out[k] = {n: (self._schema(s, st)
                               if isinstance(s, (dict, bool)) else s)
                           for n, s in v.items()}
             elif k == "propertyDependencies" and isinstance(v, dict):
-                out[k] = {p: ({sv: self._schema(s, stack)
+                out[k] = {p: ({sv: self._schema(s, st)
                                for sv, s in m.items()}
                               if isinstance(m, dict) else m)
                           for p, m in v.items()}

@@ -8,6 +8,7 @@ import json
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from m3spark.columnar import ColumnarValidator
 from m3spark.sparkval import validate_json
@@ -291,3 +292,90 @@ def test_draft3_union_type_with_schema_member(spark):
         spark.createDataFrame([(x,) for x in docs], "doc string"),
         schema, draft="draft3").collect()]
     assert got == interp == [True, False, True]
+
+
+def test_nested_violation_identity_parity(spark):
+    """r6: nested checks surface with their OWN identity — keyword,
+    schema_path, RFC 6901 doc_path, and the offending LEAF value — and
+    the full violation rows match the interpreter's on the same
+    documents (north-star row shape)."""
+    import json
+
+    from m3spark.sparkval import validate_json
+    from m3spark.sparkval import violation_rows as interp_rows
+
+    schema = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "properties": {"o": {
+            "type": "object",
+            "required": ["name"],
+            "properties": {
+                "name": {"type": "string", "minLength": 3},
+                "inner": {
+                    "type": "object",
+                    "properties": {"n": {"minimum": 0, "maximum": 9}},
+                },
+            },
+        }},
+    }
+    rows = [(1, {"name": "abc", "inner": {"n": 5}}),
+            (2, {"name": "ab", "inner": {"n": 50}}),
+            (3, {"name": None, "inner": None}),
+            (4, None)]
+    ddl = "id int, o struct<name:string,inner:struct<n:int>>"
+    df = spark.createDataFrame(rows, ddl)
+    cv = ColumnarValidator(schema)
+    got = {(r["id"], r["keyword"], r["doc_path"], r["value"])
+           for r in cv.violation_rows(df, key_col="id").collect()}
+    docs = [(1, json.dumps({"o": {"name": "abc", "inner": {"n": 5}}})),
+            (2, json.dumps({"o": {"name": "ab", "inner": {"n": 50}}})),
+            (3, json.dumps({"o": {}})),
+            (4, "{}")]
+    out = validate_json(spark.createDataFrame(docs, "id int, doc string"),
+                        schema)
+    want = {(r["id"], r["keyword"], r["doc_path"], r["value"])
+            for r in interp_rows(out, key_col="id").collect()}
+    assert got == want
+    assert (2, "minLength", "/o/name", "ab") in got
+    assert (2, "maximum", "/o/inner/n", "50") in got
+    # required sits at the OBJECT missing the key (c_required parity),
+    # rendered compact-JSON with null fields omitted
+    assert (3, "required", "/o", "{}") in got
+
+
+def test_nested_required_under_absent_column_passes(spark):
+    """r6 fix: `required` INSIDE a property whose column is absent from
+    the table must pass (the parent property is missing — presence
+    semantics); top-level required still fails statically."""
+    schema = {
+        "properties": {"o": {"type": "object", "required": ["x"]}},
+        "required": ["k"],
+    }
+    df = spark.createDataFrame([(1,)], "other int")
+    cv = ColumnarValidator(schema)
+    rows = cv.violation_rows(df, key_col="other").collect()
+    kws = {(r["keyword"], r["doc_path"]) for r in rows}
+    # top-level required fails at the row object (pointer "")
+    assert ("required", "") in kws
+    # nested required passes: its parent property is missing
+    assert not any(p.startswith("/o") for _, p in kws)
+
+
+def test_nested_doc_path_pointer_escaping(spark):
+    """Property names containing '/' or '~' compose RFC 6901-escaped
+    doc paths (join_pointer parity with the interpreter)."""
+    schema = {
+        "properties": {"o": {
+            "properties": {"a/b": {"properties": {
+                "c~d": {"maximum": 1}}}},
+        }},
+    }
+    df = spark.createDataFrame(
+        [({"a/b": {"c~d": 7}},)],
+        T.StructType([T.StructField("o", T.StructType([
+            T.StructField("a/b", T.StructType([
+                T.StructField("c~d", T.IntegerType())]))]))]))
+    cv = ColumnarValidator(schema)
+    rows = cv.apply(df).selectExpr("inline(violations)").collect()
+    assert [r["doc_path"] for r in rows] == ["/o/a~1b/c~0d"]
+    assert rows[0]["value"] == "7"

@@ -135,15 +135,150 @@ def test_ref_inside_struct_column(spark):
     assert got == [True, False, False]
 
 
-def test_recursive_ref_routes_to_interp(spark):
+def test_recursive_ref_unrolls_columnar(spark):
+    """A PRODUCTIVE cycle (recursion through `properties`) no longer
+    routes to the interp: inline.py unrolls it and the plan stays pure
+    JVM for any table whose column types nest no deeper than the unroll
+    (SURVEY §2.8 bounded depth unroll; reference lazy resolution
+    property.cljc:204-295)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"node": {"properties": {"next": {"$ref": "#/$defs/node"},
+                                          "v": {"maximum": 10}},
+                           "type": "object"}},
+        "properties": {"tree": {"$ref": "#/$defs/node"}},
+    }
+    rows = [({"v": 5, "next": {"v": 3, "next": None}},),
+            ({"v": 5, "next": {"v": 30, "next": None}},),
+            ({"v": 50, "next": None},), (None,)]
+    ddl = ("tree struct<v:int,"
+           "next:struct<v:int,next:struct<v:int>>>")
+    df = spark.createDataFrame(rows, ddl)
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    out = cv.apply(df)
+    got = [r["valid"] for r in out.select("valid").collect()]
+    assert got == [True, False, False, True]
+    # nested violation identity survives the unroll: exact keyword +
+    # RFC 6901 doc path + leaf value
+    viols = {(r["doc_path"], r["keyword"], r["value"])
+             for r in out.selectExpr("inline(violations)").collect()}
+    assert ("/tree/next/v", "maximum", "30") in viols
+    assert ("/tree/v", "maximum", "50") in viols
+    # interp agrees on valid for the same documents
+    docs = [json.dumps({"tree": {"v": 5, "next": {"v": 3}}}),
+            json.dumps({"tree": {"v": 5, "next": {"v": 30}}}),
+            json.dumps({"tree": {"v": 50}}), "{}"]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema).collect()]
+    assert interp == got
+
+
+def test_recursive_ref_deep_type_falls_back(spark):
+    """A table typed DEEPER than the unroll raises UnsupportedKeyword at
+    apply() — the declared route to the Arrow interp — while the same
+    schema over a shallow type compiles clean."""
     schema = {
         "$schema": D2020,
         "$defs": {"node": {"properties": {"next": {"$ref": "#/$defs/node"}},
                            "type": "object"}},
         "properties": {"tree": {"$ref": "#/$defs/node"}},
     }
+    shallow = spark.createDataFrame(
+        [({"next": None},)], "tree struct<next:struct<x:int>>")
+    deep_ddl = "struct<x:int>"
+    for _ in range(5):
+        deep_ddl = f"struct<next:{deep_ddl}>"
+    deep = spark.createDataFrame([(None,)], f"tree {deep_ddl}")
+    cv = ColumnarValidator(schema, ref_unroll=3)
+    assert [r["valid"] for r in cv.apply(shallow).collect()] == [True]
+    with pytest.raises(UnsupportedKeyword):
+        cv.apply(deep)
+
+
+def test_mutual_recursion_unrolls(spark):
+    """a -> b -> a through properties is productive on every loop and
+    unrolls like direct recursion."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {
+            "a": {"properties": {"b": {"$ref": "#/$defs/b"}},
+                  "required": ["va"]},
+            "b": {"properties": {"a": {"$ref": "#/$defs/a"}},
+                  "required": ["vb"]},
+        },
+        "properties": {"root": {"$ref": "#/$defs/a"}},
+    }
+    ddl = ("root struct<va:int,b:struct<vb:int,a:struct<va:int>>>")
+    rows = [({"va": 1, "b": {"vb": 2, "a": {"va": 3}}},),
+            ({"va": 1, "b": {"vb": 2, "a": {"va": None}}},),  # a w/o va
+            ({"va": 1, "b": {"vb": None, "a": {"va": 3}}},),  # b w/o vb
+            (None,)]
+    df = spark.createDataFrame(rows, ddl)
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    assert got == [True, False, False, True]
+    # interp agrees (NULL field == absent property, the engine's typed-
+    # column convention, so the docs omit the nulls)
+    docs = [json.dumps({"root": {"va": 1, "b": {"vb": 2,
+                                                "a": {"va": 3}}}}),
+            json.dumps({"root": {"va": 1, "b": {"vb": 2, "a": {}}}}),
+            json.dumps({"root": {"va": 1, "b": {"a": {"va": 3}}}}),
+            "{}"]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema).collect()]
+    assert interp == got
+
+
+def test_nonproductive_cycle_still_gives_up(spark):
+    """A $ref loop that never descends through a data keyword cannot be
+    unrolled (it would never consume input depth): the inliner keeps the
+    schema and the compiler routes it to the interp."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"a": {"allOf": [{"$ref": "#/$defs/b"}]},
+                  "b": {"anyOf": [{"$ref": "#/$defs/a"}]}},
+        "properties": {"x": {"$ref": "#/$defs/a"}},
+    }
     with pytest.raises(UnsupportedKeyword):
         ColumnarValidator(schema)
+
+
+def test_propertynames_cycle_gives_up(spark):
+    """Recursion through propertyNames must NOT unroll: its fragment is
+    evaluated driver-side by the interpreter, which would silently
+    ignore a planted guard."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"n": {"propertyNames": {"$ref": "#/$defs/n"}}},
+        "properties": {"x": {"$ref": "#/$defs/n"}},
+    }
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema)
+
+
+def test_recursion_through_items_unrolls(spark):
+    """Array-element recursion (tree-of-lists idiom) is productive
+    through `items` and unrolls; the guard sits past the element-type
+    depth so typed tables stay pure JVM."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"node": {
+            "properties": {"v": {"minimum": 0},
+                           "kids": {"items": {"$ref": "#/$defs/node"},
+                                    "type": "array"}},
+            "type": "object"}},
+        "properties": {"t": {"$ref": "#/$defs/node"}},
+    }
+    ddl = "t struct<v:int,kids:array<struct<v:int>>>"
+    rows = [({"v": 1, "kids": [{"v": 2}, {"v": 3}]},),
+            ({"v": 1, "kids": [{"v": -2}]},),
+            ({"v": -1, "kids": None},), (None,)]
+    got = _parity(spark, schema, rows, ddl, ("t",))
+    assert got == [True, False, False, True]
 
 
 def test_external_ref_routes_to_interp(spark):
