@@ -101,17 +101,32 @@ CONTENT_SCHEMA = {
                     "tags": {"items": {"type": "string",
                                        "minLength": 2}},
                 },
+                # r6: applicators compose freely inside contentSchema
+                # (reference property.cljc:788-810) and lower to the
+                # same 0-Python variant predicates
+                "allOf": [{"properties": {"name":
+                                          {"pattern": "^[a-z]+$"}}}],
+                "anyOf": [{"required": ["port"]},
+                          {"required": ["sock"]}],
+                "oneOf": [{"required": ["mode"]},
+                          {"properties": {"mode": {"const": "both"}}}],
+                "not": {"properties": {"name": {"const": "forbidden"}},
+                        "required": ["name"]},
+                "if": {"properties": {"proto": {"const": "udp"}},
+                       "required": ["proto"]},
+                "then": {"properties": {"port": {"minimum": 1024}}},
             },
         },
     },
 }
 
-# deterministic base64-JSON payload battery keyed on doc_id % 12:
-# 0/7 valid, 1 minLength, 2 minimum, 3 maximum, 4 required,
+# deterministic base64-JSON payload battery keyed on doc_id % 16:
+# 0/7 valid, 1 minLength, 2 minimum, 3 maximum, 4 required (+anyOf),
 # 5 invalid JSON, 6 invalid base64, 8 deep-valid, 9 nested minimum,
-# 10 array-element minLength, 11 nested type
+# 10 array-element minLength, 11 nested type, 12 oneOf (both match),
+# 13 not, 14 if/then, 15 allOf pattern
 CONTENT_PAYLOAD_SQL = """
-CASE CAST(doc_id % 12 AS INT)
+CASE CAST(doc_id % 16 AS INT)
 WHEN 0 THEN base64(encode(to_json(named_struct(
             'name', 'web', 'port', 80)), 'UTF-8'))
 WHEN 1 THEN base64(encode(to_json(named_struct(
@@ -134,6 +149,14 @@ WHEN 10 THEN base64(encode(to_json(named_struct(
             'tags', array('ok', 'x'))), 'UTF-8'))
 WHEN 11 THEN base64(encode(to_json(named_struct(
             'name', 'web', 'port', 80, 'cfg', 5)), 'UTF-8'))
+WHEN 12 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 80, 'mode', 'both')), 'UTF-8'))
+WHEN 13 THEN base64(encode(to_json(named_struct(
+            'name', 'forbidden', 'port', 80)), 'UTF-8'))
+WHEN 14 THEN base64(encode(to_json(named_struct(
+            'name', 'web', 'port', 53, 'proto', 'udp')), 'UTF-8'))
+WHEN 15 THEN base64(encode(to_json(named_struct(
+            'name', 'Web', 'port', 80)), 'UTF-8'))
 ELSE base64(encode(to_json(named_struct(
             'name', 'db', 'port', 5432,
             'tags', array('aa', 'bb'))), 'UTF-8'))
@@ -976,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
         # failure suppresses downstream checks; checker registered under
         # contentEncoding so every schema path hangs off it)
         "val_content_documents": """
-            WITH b AS (SELECT doc_id, CAST(doc_id % 12 AS INT) AS m
+            WITH b AS (SELECT doc_id, CAST(doc_id % 16 AS INT) AS m
                        FROM documents)
             SELECT doc_id,
                    CASE m WHEN 1 THEN 'minLength' WHEN 2 THEN 'minimum'
@@ -985,6 +1008,8 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 6 THEN 'contentEncoding'
                           WHEN 9 THEN 'minimum'
                           WHEN 10 THEN 'minLength'
+                          WHEN 12 THEN 'oneOf' WHEN 13 THEN 'not'
+                          WHEN 14 THEN 'minimum' WHEN 15 THEN 'pattern'
                           ELSE 'type' END AS keyword,
                    '/properties/payload/contentEncoding' ||
                    CASE m
@@ -1000,9 +1025,24 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 10 THEN
                        '/contentSchema/properties/tags/items/minLength'
                      WHEN 11 THEN '/contentSchema/properties/cfg/type'
+                     WHEN 12 THEN '/contentSchema/oneOf'
+                     WHEN 13 THEN '/contentSchema/not'
+                     WHEN 14 THEN '/contentSchema/if/../then' ||
+                       '/properties/port/minimum'
+                     WHEN 15 THEN '/contentSchema/allOf/0' ||
+                       '/properties/name/pattern'
                      ELSE '' END AS schema_path,
                    'warning' AS level
-            FROM b WHERE m IN (1, 2, 3, 4, 5, 6, 9, 10, 11)
+            FROM b WHERE m IN (1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13,
+                               14, 15)
+            UNION ALL
+            -- the required-miss doc (m=4) also fails anyOf: neither
+            -- port nor sock is present
+            SELECT doc_id, 'anyOf' AS keyword,
+                   '/properties/payload/contentEncoding' ||
+                   '/contentSchema/anyOf' AS schema_path,
+                   'warning' AS level
+            FROM b WHERE m = 4
         """,
         # recursive-$ref battery: every expected violation re-derived
         # from the closed form (depth = doc_id%4+1, node k value =

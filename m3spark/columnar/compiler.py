@@ -1259,7 +1259,75 @@ class ColumnarValidator:
                     lambda v, _n=n, _op=op: _variant_arr(v).isNull()
                     | (F.size(_variant_arr(v)) >= _n if _op == ">="
                        else F.size(_variant_arr(v)) <= _n)))
+        # in-place applicators over the same variant value (r6; the
+        # reference composes them freely inside contentSchema,
+        # property.cljc:788-810).  $ref arrives here already expanded:
+        # the root-level inline pre-pass walks contentSchema as a schema
+        # position, and anything it could not resolve stays a $ref key,
+        # which the subset check above routes to the interp.  allOf
+        # keeps per-keyword granularity; anyOf/oneOf/not/if-then-else
+        # compose to one entry each (the interp forwards inner branch
+        # errors — a declared granularity bound, verdicts identical).
+        allof = frag.get("allOf")
+        if isinstance(allof, list):
+            for i, br in enumerate(allof):
+                out.extend(self._variant_preds(br, f"{sp}/allOf/{i}"))
+        anyof = frag.get("anyOf")
+        if isinstance(anyof, list):
+            oks = tuple(self._variant_all(br, f"{sp}/anyOf/{i}")
+                        for i, br in enumerate(anyof))
+            out.append((
+                "anyOf", f"{sp}/anyOf",
+                f"no schema of {len(anyof)} matched",
+                lambda v, _o=oks: _reduce_or([f(v) for f in _o])))
+        oneof = frag.get("oneOf")
+        if isinstance(oneof, list):
+            oks = tuple(self._variant_all(br, f"{sp}/oneOf/{i}")
+                        for i, br in enumerate(oneof))
+
+            def one_of_ok(v, _o=oks):
+                n = None
+                for f in _o:
+                    x = F.when(f(v), 1).otherwise(0)
+                    n = x if n is None else n + x
+                return (n if n is not None else F.lit(0)) == 1
+            out.append((
+                "oneOf", f"{sp}/oneOf",
+                f"expected exactly 1 of {len(oneof)} schemas to match",
+                one_of_ok))
+        notf = frag.get("not")
+        if isinstance(notf, (dict, bool)):
+            okn = self._variant_all(notf, f"{sp}/not")
+            out.append(("not", f"{sp}/not", "value matches 'not' schema",
+                        lambda v, _f=okn: ~_f(v)))
+        ifs = frag.get("if")
+        if isinstance(ifs, (dict, bool)):
+            iok = self._variant_all(ifs, f"{sp}/if")
+            # then/else branches keep inner per-keyword identity, each
+            # entry gated on the if outcome; schema paths mirror the
+            # interpreter's literal "/if/../then" form (c_if)
+            for arm, taken in (("then", True), ("else", False)):
+                if not isinstance(frag.get(arm), (dict, bool)):
+                    continue
+                for kw, spath, msg, p in self._variant_preds(
+                        frag[arm], f"{sp}/if/../{arm}"):
+                    out.append((
+                        kw, spath, msg,
+                        lambda v, _i=iok, _p=p, _t=taken:
+                        (~_i(v) if _t else _i(v)) | _p(v)))
         return out
+
+    def _variant_all(self, frag, sp: str):
+        """Conjunction of a contentSchema fragment's predicates as one
+        fn(variant) -> ok Column (empty/true fragment folds to lit
+        True)."""
+        preds = tuple(p for _, _, _, p in self._variant_preds(frag, sp))
+
+        def ok(v, _ps=preds):
+            if not _ps:
+                return F.lit(True)
+            return _reduce_and([p(v) for p in _ps])
+        return ok
 
     def _nested_builders(self, frag, sp) -> list:
         """Compile a subschema fragment into JVM-only builders usable

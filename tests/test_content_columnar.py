@@ -166,15 +166,16 @@ def test_content_schema_false(spark):
 
 
 def test_unsupported_content_schema_routes_to_interp():
-    # nested properties/items are columnar-lowerable since r4; an
-    # applicator like allOf inside contentSchema still routes to interp
+    # nested properties/items are columnar-lowerable since r4 and
+    # combinators since r6; keywords outside the variant subset (e.g.
+    # uniqueItems) still route to the interp
     with pytest.raises(UnsupportedKeyword):
         ColumnarValidator(
             {"$schema": D2019,
              "properties": {"payload": {
                  "contentEncoding": "base64",
                  "contentMediaType": "application/json",
-                 "contentSchema": {"allOf": [{"type": "object"}]}}}})
+                 "contentSchema": {"uniqueItems": True}}}})
 
 
 def test_old_drafts_ignore_content(spark):
@@ -354,3 +355,113 @@ def test_deep_content_plan_is_jvm_only(spark):
         [(b64({"name": "web", "cfg": {"port": 80}}),)], ["payload"])
     plan = cv.apply(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+COMBINATOR_CONTENT_SCHEMA = {
+    "allOf": [
+        {"properties": {"name": {"type": "string", "minLength": 2}}},
+        {"required": ["name"]},
+    ],
+    "anyOf": [
+        {"properties": {"port": {"type": "integer", "minimum": 1}},
+         "required": ["port"]},
+        {"properties": {"sock": {"type": "string"}}, "required": ["sock"]},
+    ],
+    "oneOf": [
+        {"properties": {"mode": {"const": "tcp"}}, "required": ["mode"]},
+        {"properties": {"port": {"maximum": 1023}}},
+    ],
+    "not": {"properties": {"name": {"const": "forbidden"}},
+            "required": ["name"]},
+    "if": {"properties": {"mode": {"const": "udp"}}, "required": ["mode"]},
+    "then": {"properties": {"port": {"minimum": 1024}}},
+    "else": {"properties": {"port": {"maximum": 60000}}},
+}
+
+COMBINATOR_PAYLOADS = [
+    b64({"name": "web", "port": 80}),          # all pass (oneOf: 2nd only)
+    b64({"name": "w", "port": 80}),            # allOf minLength fail
+    b64({"port": 80}),                         # allOf required fail
+    b64({"name": "web"}),                      # anyOf: no branch
+    b64({"name": "web", "sock": "/tmp/s", "port": 80}),  # anyOf 2nd
+    b64({"name": "web", "port": 2000}),        # oneOf: 0 branches match
+    b64({"name": "web", "port": 80, "mode": "tcp"}),     # oneOf: both -> fail
+    b64({"name": "forbidden", "port": 80}),    # not fails
+    b64({"name": "web", "port": 80, "mode": "udp"}),     # then: port<1024 fail
+    b64({"name": "web", "port": 70000, "mode": "x"}),    # else: port>60000 + oneOf
+    b64({"name": "web", "port": 500, "mode": "udp"}),    # then fail + oneOf ok
+    b64([1, 2]),                               # array: object keywords pass,
+                                               # anyOf fails (required)
+    None,
+]
+
+
+def test_content_combinators_parity(spark):
+    """r6: allOf/anyOf/oneOf/not/if-then-else INSIDE contentSchema lower
+    columnar (reference composes applicators freely under content,
+    property.cljc:788-810) — verdict, keyword, schema-path, and level
+    parity with the interpreter on every payload."""
+    sub = {"type": "string", "contentEncoding": "base64",
+           "contentMediaType": "application/json",
+           "contentSchema": COMBINATOR_CONTENT_SCHEMA}
+    schema = {"$schema": D2019, "properties": {"payload": sub}}
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(COMBINATOR_PAYLOADS)],
+        T.StructType([T.StructField("i", T.IntegerType()),
+                      T.StructField("payload", T.StringType())]))
+    rows = {r["i"]: r for r in cv.apply(df).collect()}
+    mismatches = []
+    for i, payload in enumerate(COMBINATOR_PAYLOADS):
+        exp_valid, exp_viol = _interp_expected(payload, D2019, sub)
+        r = rows[i]
+        got_viol = sorted((v["keyword"], v["schema_path"], v["level"])
+                          for v in r["violations"])
+        if bool(r["valid"]) != exp_valid or got_viol != exp_viol:
+            mismatches.append(
+                f"payload {i}: columnar valid={r['valid']} "
+                f"viol={got_viol} interp valid={exp_valid} "
+                f"viol={exp_viol}")
+    assert not mismatches, "\n".join(mismatches)
+
+
+def test_content_ref_into_defs_lowers(spark):
+    """$ref inside contentSchema resolves through the root-level inline
+    pre-pass (the fragment's pointers address the ROOT schema) and the
+    expanded applicators lower columnar, 0 Python."""
+    schema = {
+        "$schema": D2019,
+        "$defs": {"svc": {"properties": {
+            "port": {"type": "integer", "minimum": 1}},
+            "required": ["port"]}},
+        "properties": {"payload": {
+            "type": "string", "contentEncoding": "base64",
+            "contentMediaType": "application/json",
+            "contentSchema": {"allOf": [{"$ref": "#/$defs/svc"}]},
+        }},
+    }
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    df = spark.createDataFrame(
+        [(b64({"port": 8080}),), (b64({"port": 0}),), (b64({}),)],
+        ["payload"])
+    rows = cv.apply(df).collect()
+    # 2019-09: content violations are warnings, rows stay valid
+    kws = [sorted(v["keyword"] for v in r["violations"]) for r in rows]
+    assert kws == [[], ["minimum"], ["required"]]
+
+
+def test_content_unresolvable_ref_still_routes_to_interp():
+    """A contentSchema $ref the inliner cannot expand (external) keeps
+    the standing interp escape hatch."""
+    schema = {
+        "$schema": D2019,
+        "properties": {"payload": {
+            "contentEncoding": "base64",
+            "contentMediaType": "application/json",
+            "contentSchema": {"$ref": "https://example.com/x.json"},
+        }},
+    }
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema)
