@@ -481,8 +481,11 @@ def q_minhash_pairs_documents(spark, sf_dir):
 def q_minhash_pairs_fast(spark, sf_dir):
     """Production MinHash+LSH: xxhash64 signatures (single JVM codegen
     op per shingle-hash, no md5) — identical plan shape to the portable
-    twin; rows-only at the driver gate (xxhash64 has no DuckDB analog),
-    with the portable twin carrying the value-exact oracle."""
+    twin.  Rows-only at the DRIVER gate (its plain-SQL DuckDB has no
+    xxhash64), but fully value-checked locally: tools/check_oracles.py
+    registers the pure-Python XXH64 mirror (m3spark/ops/xxh64.py,
+    JVM-parity pinned by tests/test_xxh64.py) as a DuckDB scalar UDF
+    and replays the whole shingle->minhash->band->join pipeline."""
     from m3spark.ops import minhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -502,16 +505,48 @@ def q_simhash_documents(spark, sf_dir):
 
 def q_ann_ivf_embeddings(spark, sf_dir):
     """IVF approximate top-k (KMeans coarse quantizer, probe-3) — the
-    partition-pruning ANN scale path; rows-only (MLlib KMeans has no
-    DuckDB analog; q_ann_ivf_fixed_embeddings is the oracle-checked
-    twin with the same inverted-file plan shape)."""
-    from m3spark.ops import ivf_topk
+    partition-pruning ANN scale path, now FULLY oracle-checked via
+    planted-recall (r6; the pattern lsh_ann_embeddings established):
+    40 perturbed near-duplicates (v -> v + 0.01*v^2, cosine ~0.9999)
+    are planted into the index, every original is a query of the BATCH
+    IVF (one shared quantizer, broadcast probe sets, per-query windowed
+    top-10), and the query reports whether each planted twin was
+    recovered plus its exact cosine.  The oracle recomputes the planted
+    pairs and cosines in closed form and asserts found_by_ivf for all
+    40: a broken quantizer, probe pruning that drops the twin's
+    cluster, or a wrong top-k window turns the driver gate red.
+    (KMeans itself has no DuckDB analog; the recall bound is the
+    oracle-checkable contract — q_ann_ivf_fixed_embeddings remains the
+    hash-exact twin of the full pruned top-k.)"""
+    from m3spark.ops.similarity import _dot, _norm, ivf_topk_queries
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double")))
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb, "embedding", [float(x) for x in qvec], 10,
-                    n_clusters=8, n_probe=3)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    planted = emb.where(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01) * x * x).alias("v"))
+    union = emb.unionByName(planted)
+    queries = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    topk = ivf_topk_queries(union, queries, 10, vec_col="v",
+                            n_clusters=8, n_probe=3)
+    truth = (emb.where(F.col("vec_id") < 40).alias("o")
+             .join(planted.alias("p"),
+                   F.col("p.vec_id") == F.col("o.vec_id") + 1000000))
+    cos = _dot(F.col("o.v"), F.col("p.v")) / (
+        _norm(F.col("o.v")) * _norm(F.col("p.v")))
+    pairs = truth.select(F.col("o.vec_id").alias("id_a"),
+                         F.col("p.vec_id").alias("id_b"),
+                         F.round(cos, 6).alias("cosine"))
+    hits = topk.where(F.col("vec_id") >= 1000000).select(
+        F.col("q_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.lit(True).alias("found_by_ivf"))
+    return (pairs.join(hits, ["id_a", "id_b"], "left")
+                 .select("id_a", "id_b", "cosine",
+                         F.coalesce("found_by_ivf", F.lit(False))
+                          .alias("found_by_ivf")))
 
 
 def q_ann_ivf_fixed_embeddings(spark, sf_dir):
@@ -871,8 +906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
-        # rows-only (MLlib KMeans quantizer has no SQL analog; the
-        # fixed-quantizer twin above carries the hard check)
+        # oracle-checked since r6 via the planted-recall bound (the
+        # KMeans quantizer has no SQL analog, but the recall contract
+        # is closed-form; the fixed-quantizer twin above stays the
+        # hash-exact mirror of the full pruned top-k)
         "ann_ivf_embeddings": q_ann_ivf_embeddings,
     }
 
@@ -1326,6 +1363,23 @@ def oracle_sql() -> dict[str, str]:
                          (sqrt(list_dot_product(v, v)) *
                           sqrt(list_dot_product(vp, vp))), 6) AS cosine,
                    TRUE AS found_by_lsh
+            FROM p
+        """,
+        # planted-recall bound for the KMeans IVF (r6): the quantizer
+        # itself has no SQL analog, but the CONTRACT — every planted
+        # near-twin must survive probe pruning into the top-10 — is
+        # fully closed-form
+        "ann_ivf_embeddings": """
+            WITH o AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 40),
+            p AS (SELECT vec_id, v,
+                         list_transform(v, x -> x + 0.01 * x * x) AS vp
+                  FROM o)
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+                   ROUND(list_dot_product(v, vp) /
+                         (sqrt(list_dot_product(v, v)) *
+                          sqrt(list_dot_product(vp, vp))), 6) AS cosine,
+                   TRUE AS found_by_ivf
             FROM p
         """,
         # deterministic-quantizer IVF: centroid subsample, max-cosine

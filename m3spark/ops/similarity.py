@@ -75,6 +75,62 @@ def ivf_topk(df: DataFrame, vec_col: str, query: list[float], k: int,
     return cosine_topk(cand, vec_col, query, k, id_col)
 
 
+def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
+                     vec_col: str = "v", id_col: str = "vec_id",
+                     q_vec_col: str = "qv", q_id_col: str = "q_id",
+                     n_clusters: int = 16, n_probe: int = 2,
+                     seed: int = 42,
+                     train_fraction: float = 1.0) -> DataFrame:
+    """Batch IVF approximate top-k: ONE shared KMeans coarse quantizer,
+    per-query probe sets, per-query windowed top-k.
+
+    Scale shape (the production IVF recipe, 100-TB framing):
+    - the quantizer trains once (optionally on a sample);
+    - cluster assignment is a map-side model.transform — no shuffle;
+    - the (query x centroid) ranking runs over a BROADCAST centroid
+      table (n_clusters rows), so probe-set selection is map-side;
+    - candidates come from broadcasting the small probe table against
+      the assigned vectors filtered to probed clusters — the big side
+      is scanned once and never shuffled;
+    - only the per-query top-k window shuffles, on q_id, sized
+      |queries| x k.
+
+    Returns (q_id, vec_id, cosine, rank<=k)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    feat = df.select(F.col(id_col), F.col(vec_col),
+                     array_to_vector(F.col(vec_col)).alias("_feat"))
+    train = feat if train_fraction >= 1.0 else feat.sample(
+        fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
+                   predictionCol="_cluster").fit(train.select("_feat"))
+    assigned = model.transform(feat).select(id_col, vec_col, "_cluster")
+    spark = df.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "_cid int, _cv array<double>")
+    qsim = _dot(F.col(q_vec_col), F.col("_cv")) / (
+        _norm(F.col(q_vec_col)) * _norm(F.col("_cv")))
+    probe = (queries_df.crossJoin(F.broadcast(centers))
+             .withColumn("_r", F.row_number().over(
+                 Window.partitionBy(q_id_col)
+                       .orderBy(qsim.desc(), F.col("_cid"))))
+             .where(F.col("_r") <= n_probe)
+             .select(q_id_col, q_vec_col, F.col("_cid")))
+    cand = assigned.join(F.broadcast(probe),
+                         assigned["_cluster"] == probe["_cid"])
+    cos = _dot(F.col(q_vec_col), F.col(vec_col)) / (
+        _norm(F.col(q_vec_col)) * _norm(F.col(vec_col)))
+    ranked = (cand.select(q_id_col, id_col, F.round(cos, 6).alias("cosine"))
+              .withColumn("rank", F.row_number().over(
+                  Window.partitionBy(q_id_col)
+                        .orderBy(F.col("cosine").desc(), F.col(id_col)))))
+    return ranked.where(F.col("rank") <= k)
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane (pure function of
     seed — no RNG state, reproducible across runs/executors)."""

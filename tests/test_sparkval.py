@@ -138,10 +138,9 @@ def test_columnar_plan_stays_jvm_side(spark):
 
 
 def test_columnar_unsupported_raises(spark):
-    # acyclic local $ref is inlined since r5; a RECURSIVE ref still
-    # routes to the Arrow interpreter
+    # acyclic local $ref is inlined since r5 and productive recursion
+    # unrolls since r6; an EXTERNAL ref still routes to the interpreter
     with pytest.raises(Exception) as ei:
-        ColumnarValidator({"$ref": "#/definitions/x",
-                           "definitions": {"x": {"properties": {
-                               "next": {"$ref": "#/definitions/x"}}}}})
+        ColumnarValidator({"properties": {
+            "a": {"$ref": "https://example.com/schema.json"}}})
     assert "$ref" in str(ei.value)

@@ -62,8 +62,50 @@ def value_hash(rows, cols):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+# UDF-backed oracles (r6): full-value mirrors the driver's plain-SQL
+# DuckDB cannot run because they need a scalar UDF — here the pure-
+# Python XXH64 mirror (m3spark/ops/xxh64.py, parity pinned by
+# tests/test_xxh64.py) value-checks the production xxhash64 MinHash
+# path end to end; the driver gate still records it rows-only.
+UDF_ORACLES = {
+    "minhash_pairs_fast": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+          FROM documents,
+               UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
+                 AS t(i)),
+        hs AS (
+          SELECT doc_id, j, MIN(xxh64_str_int(shingle, CAST(j AS INT)))
+                 AS hv
+          FROM sh, UNNEST(range(0, 32)) AS u(j)
+          GROUP BY doc_id, j),
+        bandkey AS (
+          SELECT doc_id, (j // 4) AS band,
+                 xxh64_str('[' || string_agg(hv::VARCHAR, ', '
+                                             ORDER BY j) || ']')
+                 AS bucket
+          FROM hs GROUP BY doc_id, band),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandkey a JOIN bandkey b
+            ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id),
+        agree AS (
+          SELECT c.id_a, c.id_b,
+                 SUM(CASE WHEN ha.hv = hb.hv THEN 1 ELSE 0 END) AS n_eq
+          FROM cand c
+          JOIN hs ha ON ha.doc_id = c.id_a
+          JOIN hs hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+          GROUP BY c.id_a, c.id_b)
+        SELECT id_a, id_b, ROUND(n_eq / 32.0, 6) AS est_jaccard
+        FROM agree
+    """,
+}
+
+
 def main():
     import __spark_entry__ as entrymod
+    from m3spark.ops.xxh64 import spark_xxhash64
     from m3spark.session import get_spark
 
     spark = get_spark("oracle-check", cores=8)
@@ -72,9 +114,14 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF}/{t}.parquet')")
+    con.create_function("xxh64_str_int",
+                        lambda s, i: spark_xxhash64(s, i),
+                        ["VARCHAR", "INTEGER"], "BIGINT")
+    con.create_function("xxh64_str", lambda s: spark_xxhash64(s),
+                        ["VARCHAR"], "BIGINT")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = {**entrymod.oracle_sql(), **UDF_ORACLES}
     only = sys.argv[1:] or list(qs)
     n_fail = 0
     for name in only:
