@@ -38,6 +38,29 @@ _NAME = r"[A-Za-z_$][A-Za-z0-9_$]*"
 _PY_ONLY = ("(?P", "(?#", "(?(")
 
 
+def _quant_at_atom_start(pattern: str, i: int) -> bool:
+    """True when a braced quantifier at ``i`` has no preceding atom:
+    pattern start, right after an (unescaped) group-open or
+    alternation bar, or after a group prefix.  (Deeper cases — after
+    ^, after another quantifier, after a named-group open — keep the
+    classified-invalid route.)"""
+    if i == 0:
+        return True
+    for pre in ("(?:", "(?=", "(?!", "(?<=", "(?<!"):
+        if pattern.endswith(pre, 0, i):
+            return True
+    prev = pattern[i - 1]
+    if prev not in "(|":
+        return False
+    # an ESCAPED '(' or '|' is a literal atom the quantifier can bind to
+    nb = 0
+    j = i - 2
+    while j >= 0 and pattern[j] == "\\":
+        nb += 1
+        j -= 1
+    return nb % 2 == 0
+
+
 class EcmaUnsupported(re.error):
     """Pattern uses a construct with no exact Python/Java equivalent."""
 
@@ -112,6 +135,14 @@ def translate(pattern: str, flavor: str = "python") -> str:
                         and pattern[i + 2].isalpha():
                     out.append("\\x%02x"
                                % (ord(pattern[i + 2].upper()) - 64))
+                    i += 3
+                elif in_class and i + 2 < n \
+                        and (pattern[i + 2].isdigit()
+                             or pattern[i + 2] == "_"):
+                    # Annex B ClassControlLetter: INSIDE a class \c also
+                    # takes a decimal digit or _, mapping to the control
+                    # char ord(ch) % 32 (GraalJS web-compat parity)
+                    out.append("\\x%02x" % (ord(pattern[i + 2]) % 32))
                     i += 3
                 else:
                     # Annex B: \c with no control letter matches the
@@ -224,6 +255,14 @@ def translate(pattern: str, flavor: str = "python") -> str:
         if ch == "{" and not re.match(r"\{\d+(,\d*)?\}", pattern[i:]):
             # Annex B: a '{' that opens no valid quantifier is a
             # literal (Python agrees; Java would reject it unescaped)
+            out.append("\\{")
+            i += 1
+            continue
+        if ch == "{" and _quant_at_atom_start(pattern, i):
+            # Annex B web-compat (GraalJS/V8): a valid-shaped braced
+            # quantifier with NO preceding atom — pattern start, right
+            # after '(' / '(?:' / '(?=' / '(?!' / '|' — matches its
+            # literal text (both host engines would reject it)
             out.append("\\{")
             i += 1
             continue

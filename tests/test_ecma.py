@@ -154,6 +154,23 @@ ANNEX_B_SEMANTICS = [
     (r"a{2", "aa", False),
     (r"x{1,2}", "x", True),          # real quantifiers untouched
     (r"x{1,2}", "{", False),
+    # r6: in-class ClassControlLetter takes digits and _ too
+    (r"[\c5]", "\x15", True),
+    (r"[\c5]", "\\", False),
+    (r"[\c5]", "5", False),
+    (r"[\c_]", "\x1f", True),
+    (r"[\c_]", "_", False),
+    (r"\c5", "\\c5", True),          # OUTSIDE a class: still literal \c
+    (r"\c5", "\x15", False),
+    # r6: leading valid-shaped braced quantifier is literal text
+    (r"{2}", "{2}", True),
+    (r"{2}", "xx", False),
+    (r"{2,3}", "{2,3}", True),
+    (r"(?:{2})x", "{2}x", True),
+    (r"a|{3}", "{3}", True),
+    (r"({2})", "{2}", True),
+    (r"\({2}", "((", True),          # escaped paren IS an atom
+    (r"\({2}", "({2}", False),
 ]
 
 
