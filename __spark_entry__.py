@@ -778,8 +778,51 @@ _PX_HEX = (
     f" concat(lpad(hex({_PXV}), 2, '0'),"
     f" lpad(hex(CAST((doc_id + 40) % 256 AS INT)), 2, '0'),"
     f" lpad(hex(CAST((doc_id + 80) % 256 AS INT)), 2, '0')))")
+# r6 additions: doc_id%11==3 -> 16-bit grayscale (two-byte samples,
+# value (doc_id*97)%65536); doc_id%11==5 -> Adam7-interlaced 8-bit
+# grayscale (per-pass scanline counts in closed form for w<=4, h<=3:
+# only passes 1/4/5/6/7 can be non-empty).  Both still stored-deflate.
+_PX16V = "CAST((doc_id * 97) % 65536 AS INT)"
+_PX16HEX = f"lpad(hex({_PX16V}), 4, '0')"
+_PX16L = f"({_PXH} * (1 + {_PXW} * 2))"
+_PXG = f"lpad(hex({_PXV}), 2, '0')"
+_FW2 = f"CAST(FLOOR({_PXW} / 2) AS INT)"
+_CW2 = f"CAST(FLOOR(({_PXW} + 1) / 2) AS INT)"
+_FH2 = f"CAST(FLOOR({_PXH} / 2) AS INT)"
+_CH2H = f"CAST(FLOOR(({_PXH} + 1) / 2) AS INT)"
+_ADAM_RAW = (
+    f"concat(concat('00', {_PXG}),"                             # pass 1
+    f" if({_PXW} > 2, concat('00', {_PXG}), ''),"               # pass 4
+    f" if({_PXH} > 2, concat('00', repeat({_PXG}, {_CW2})), ''),"  # p5
+    f" if({_FW2} > 0, repeat(concat('00', repeat({_PXG}, {_FW2})),"
+    f" {_CH2H}), ''),"                                          # pass 6
+    f" repeat(concat('00', repeat({_PXG}, {_PXW})), {_FH2}))")  # pass 7
+_ADAM_L = (
+    f"(2 + if({_PXW} > 2, 2, 0) + if({_PXH} > 2, 1 + {_CW2}, 0)"
+    f" + if({_FW2} > 0, {_CH2H} * (1 + {_FW2}), 0)"
+    f" + {_FH2} * (1 + {_PXW}))")
 PIXEL_PNG_HEX_SQL = f"""
 if(doc_id % 13 = 0, '89504E470D0A1A0A0000',
+if(doc_id % 11 = 3,
+concat('89504E470D0A1A0A', '0000000D49484452',
+       lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
+       '10', '00', '000000', '00000000',
+       '000000', lpad(hex({_PX16L} + 11), 2, '0'), '49444154',
+       '7801', '01', lpad(hex({_PX16L}), 2, '0'), '00',
+       lpad(hex(255 - {_PX16L}), 2, '0'), 'FF',
+       repeat(concat('00', repeat({_PX16HEX}, {_PXW})), {_PXH}),
+       '00000000', '00000000',
+       '0000000049454E44AE426082'),
+if(doc_id % 11 = 5,
+concat('89504E470D0A1A0A', '0000000D49484452',
+       lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
+       '08', '00', '000001', '00000000',
+       '000000', lpad(hex({_ADAM_L} + 11), 2, '0'), '49444154',
+       '7801', '01', lpad(hex({_ADAM_L}), 2, '0'), '00',
+       lpad(hex(255 - {_ADAM_L}), 2, '0'), 'FF',
+       {_ADAM_RAW},
+       '00000000', '00000000',
+       '0000000049454E44AE426082'),
 concat('89504E470D0A1A0A', '0000000D49484452',
        lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
        '08', if({_PX_GRAY}, '00', '02'), '000000', '00000000',
@@ -788,7 +831,7 @@ concat('89504E470D0A1A0A', '0000000D49484452',
        lpad(hex(255 - {_PX_L}), 2, '0'), 'FF',
        repeat(concat('00', repeat({_PX_HEX}, {_PXW})), {_PXH}),
        '00000000', '00000000',
-       '0000000049454E44AE426082'))"""
+       '0000000049454E44AE426082'))))"""
 
 
 def q_multimodal_pixel_stats(spark, sf_dir):
@@ -1469,28 +1512,35 @@ def oracle_sql() -> dict[str, str]:
                      CAST(doc_id % 256 AS INT) AS v,
                      CAST((doc_id + 40) % 256 AS INT) AS v1,
                      CAST((doc_id + 80) % 256 AS INT) AS v2,
+                     CAST((doc_id * 97) % 65536 AS INT) AS v16,
                      (doc_id % 2 = 0) AS gray,
-                     (doc_id % 13 = 0) AS bad
+                     (doc_id % 13 = 0) AS bad,
+                     (doc_id % 13 <> 0 AND doc_id % 11 = 3) AS d16,
+                     (doc_id % 13 <> 0 AND doc_id % 11 = 5) AS adam
               FROM documents)
             SELECT doc_id,
               CASE WHEN bad THEN NULL ELSE w END AS width,
               CASE WHEN bad THEN NULL ELSE h END AS height,
-              CASE WHEN bad THEN NULL WHEN gray THEN 1 ELSE 3 END
-                AS channels,
-              CAST(CASE WHEN bad THEN NULL WHEN gray THEN v
+              CASE WHEN bad THEN NULL WHEN d16 OR adam OR gray THEN 1
+                   ELSE 3 END AS channels,
+              CAST(CASE WHEN bad THEN NULL WHEN d16 THEN v16
+                   WHEN adam OR gray THEN v
                    ELSE least(v, v1, v2) END AS INT) AS px_min,
-              CAST(CASE WHEN bad THEN NULL WHEN gray THEN v
+              CAST(CASE WHEN bad THEN NULL WHEN d16 THEN v16
+                   WHEN adam OR gray THEN v
                    ELSE greatest(v, v1, v2) END AS INT) AS px_max,
               CASE WHEN bad THEN NULL
-                   WHEN gray THEN round(CAST(v AS DOUBLE), 6)
+                   WHEN d16 THEN round(CAST(v16 AS DOUBLE), 6)
+                   WHEN adam OR gray THEN round(CAST(v AS DOUBLE), 6)
                    ELSE round((h * w * (v + v1 + v2))
                               / CAST(h * w * 3 AS DOUBLE), 6) END
                 AS px_mean,
               CASE WHEN bad THEN NULL
+                   WHEN d16 THEN round(CAST(v16 AS DOUBLE), 6)
                    ELSE round(CAST(v AS DOUBLE), 6) END AS ch0_mean,
-              CASE WHEN bad OR gray THEN NULL
+              CASE WHEN bad OR d16 OR adam OR gray THEN NULL
                    ELSE round(CAST(v1 AS DOUBLE), 6) END AS ch1_mean,
-              CASE WHEN bad OR gray THEN NULL
+              CASE WHEN bad OR d16 OR adam OR gray THEN NULL
                    ELSE round(CAST(v2 AS DOUBLE), 6) END AS ch2_mean
             FROM b
         """,

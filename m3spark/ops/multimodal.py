@@ -122,12 +122,14 @@ _NULL_FEATURES = {f.name: None for f in FEATURE_SCHEMA.fields}
 
 # ---------------------------------------------------------------------------
 # PNG pixel decode — dependency-free (stdlib zlib inflate + scanline
-# unfiltering per the W3C PNG spec §6/§9): 8-bit depth, color types
-# 0 (gray) / 2 (rgb) / 3 (palette via PLTE) / 4 (gray+alpha) / 6 (rgba),
-# non-interlaced.  Chunk CRCs and the zlib adler32 trailer are NOT
-# verified (tolerant decode: a corpus crawl keeps partially-damaged
-# files decodable; the inflate itself still fails closed on garbage).
-# 16-bit and interlaced images return None (declared unsupported).
+# unfiltering per the W3C PNG spec §6/§9): 8- and 16-bit depths, color
+# types 0 (gray) / 2 (rgb) / 3 (palette via PLTE, 8-bit only per spec)
+# / 4 (gray+alpha) / 6 (rgba), non-interlaced AND Adam7-interlaced
+# (seven independently-filtered sub-images re-strided into place,
+# §8.2).  Chunk CRCs and the zlib adler32 trailer are NOT verified
+# (tolerant decode: a corpus crawl keeps partially-damaged files
+# decodable; the inflate itself still fails closed on garbage).
+# Sub-byte depths (1/2/4) return None (declared unsupported).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -147,51 +149,26 @@ def _png_chunks(raw: bytes):
         i += 12 + ln  # length + type + data + (unverified) CRC
 
 
-def _png_pixels(raw: bytes):
-    """(width, height, channels, HxWxC uint8 ndarray) or None."""
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    import numpy as np
 
-    if raw[:8] != _PNG_SIG:
+def _png_unfilter(rawdat: bytes, pos: int, wpx: int, hpx: int,
+                  bpp: int):
+    """Reverse the per-scanline filters of one (sub-)image starting at
+    byte ``pos``: returns (unfiltered bytes, next pos) or None.  ``bpp``
+    is bytes per pixel — the filter distance (§9.2), so 16-bit samples
+    just widen it."""
+    stride = 1 + wpx * bpp
+    if len(rawdat) < pos + stride * hpx:
         return None
-    ihdr = None
-    plte = None
-    idat = []
-    for typ, data in _png_chunks(raw):
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.append(data)
-    if ihdr is None or len(ihdr) < 13 or not idat:
-        return None
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ct, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
-            or ct not in _PNG_CHANNELS or w == 0 or h == 0:
-        return None
-    ch = _PNG_CHANNELS[ct]
-    stream = b"".join(idat)
-    if len(stream) < 3:
-        return None
-    try:
-        # skip the 2-byte zlib header; raw-deflate inflate ignores the
-        # adler32 trailer (tolerant decode, see module note)
-        rawdat = zlib.decompressobj(-15).decompress(stream[2:])
-    except zlib.error:
-        return None
-    stride = 1 + w * ch
-    if len(rawdat) < stride * h:
-        return None
-    out = bytearray(w * ch * h)
-    prev = bytearray(w * ch)
-    bpp = ch
-    for r in range(h):
-        f = rawdat[r * stride]
-        line = bytearray(rawdat[r * stride + 1:(r + 1) * stride])
+    out = bytearray(wpx * bpp * hpx)
+    prev = bytearray(wpx * bpp)
+    for r in range(hpx):
+        f = rawdat[pos + r * stride]
+        line = bytearray(rawdat[pos + r * stride + 1:
+                                pos + (r + 1) * stride])
         if f == 1:      # Sub
             for x in range(bpp, len(line)):
                 line[x] = (line[x] + line[x - bpp]) & 0xFF
@@ -214,17 +191,85 @@ def _png_pixels(raw: bytes):
                 line[x] = (line[x] + pred) & 0xFF
         elif f != 0:    # None
             return None
-        out[r * w * ch:(r + 1) * w * ch] = line
+        out[r * wpx * bpp:(r + 1) * wpx * bpp] = line
         prev = line
-    px = np.frombuffer(bytes(out), dtype=np.uint8)
+    return bytes(out), pos + stride * hpx
+
+
+def _png_pixels(raw: bytes):
+    """(width, height, channels, HxWxC uint8/uint16 ndarray) or None."""
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_SIG:
+        return None
+    ihdr = None
+    plte = None
+    idat = []
+    for typ, data in _png_chunks(raw):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ct, comp, filt, interlace = ihdr[8:13]
+    if depth not in (8, 16) or comp != 0 or filt != 0 \
+            or interlace not in (0, 1) or ct not in _PNG_CHANNELS \
+            or w == 0 or h == 0:
+        return None
+    if ct == 3 and depth != 8:
+        return None  # palette is 8-bit-max per spec §11.2.2
+    ch = _PNG_CHANNELS[ct]
+    bpp = ch * (depth // 8)
+    dtype = ">u2" if depth == 16 else np.uint8
+    stream = b"".join(idat)
+    if len(stream) < 3:
+        return None
+    try:
+        # skip the 2-byte zlib header; raw-deflate inflate ignores the
+        # adler32 trailer (tolerant decode, see module note)
+        rawdat = zlib.decompressobj(-15).decompress(stream[2:])
+    except zlib.error:
+        return None
+    if interlace == 0:
+        res = _png_unfilter(rawdat, 0, w, h, bpp)
+        if res is None:
+            return None
+        px = np.frombuffer(res[0], dtype=dtype).reshape(h, w, ch)
+        if depth == 16:
+            px = px.astype(np.uint16)  # native order for callers
+    else:
+        # Adam7: seven independently-filtered sub-images, re-strided
+        # into the full grid; empty passes contribute no scanlines
+        px = np.zeros((h, w, ch),
+                      dtype=np.uint16 if depth == 16 else np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            res = _png_unfilter(rawdat, pos, wp, hp, bpp)
+            if res is None:
+                return None
+            data, pos = res
+            px[y0::dy, x0::dx, :] = np.frombuffer(
+                data, dtype=dtype).reshape(hp, wp, ch)
     if ct == 3:
         if plte is None or len(plte) % 3:
             return None
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        if int(px.max(initial=0)) >= len(pal):
+        idx = px.reshape(-1)
+        if int(idx.max(initial=0)) >= len(pal):
             return None
-        return w, h, 3, pal[px].reshape(h, w, 3)
-    return w, h, ch, px.reshape(h, w, ch)
+        return w, h, 3, pal[idx].reshape(h, w, 3)
+    return w, h, ch, px
 
 
 PIXEL_SCHEMA = StructType([

@@ -21,19 +21,22 @@ def _chunk(typ, data):
             + struct.pack(">I", zlib.crc32(typ + data)))
 
 
-def make_png(px: np.ndarray, ct: int, filters, plte=None,
-             split_idat=True):
-    """Reference encoder: forward-filters each scanline with the given
-    per-row filter cycle and deflates for real."""
-    h, w, ch = px.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_subimage(arr: np.ndarray, filters, bpp: int) -> bytes:
+    """Forward-filter one (sub-)image's scanlines with the given
+    per-row filter cycle."""
+    hh = arr.shape[0]
     raw = b""
-    prev = bytes(w * ch)
-    for r in range(h):
-        line = px[r].reshape(-1).tobytes()
+    prev = bytes(arr.shape[1] * bpp)
+    for r in range(hh):
+        line = (arr[r].reshape(-1).astype(">u2").tobytes()
+                if arr.dtype == np.uint16
+                else arr[r].reshape(-1).tobytes())
         f = filters[r % len(filters)]
         enc = bytearray(line)
-        bpp = ch
         if f == 1:
             for x in range(len(line) - 1, bpp - 1, -1):
                 enc[x] = (line[x] - line[x - bpp]) & 0xFF
@@ -56,6 +59,26 @@ def make_png(px: np.ndarray, ct: int, filters, plte=None,
                 enc[x] = (line[x] - pred) & 0xFF
         raw += bytes([f]) + bytes(enc)
         prev = line
+    return raw
+
+
+def make_png(px: np.ndarray, ct: int, filters, plte=None,
+             split_idat=True, interlace=0):
+    """Reference encoder: forward-filters each scanline with the given
+    per-row filter cycle and deflates for real; 16-bit when ``px`` is
+    uint16; Adam7 sub-image splitting when ``interlace=1``."""
+    h, w, ch = px.shape
+    depth = 16 if px.dtype == np.uint16 else 8
+    bpp = ch * (depth // 8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_subimage(sub, filters, bpp)
+    else:
+        raw = _filter_subimage(px, filters, bpp)
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _chunk(b"PLTE", plte)
@@ -109,16 +132,74 @@ def test_stats_exact_division():
     assert s["ch3_mean"] is None
 
 
+@pytest.mark.parametrize("ct,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4],
+                                     [0, 1, 2, 3, 4]])
+def test_roundtrip_16bit_all_filters(ct, ch, filters):
+    """r6: 16-bit samples widen the filter distance (bpp = 2*ch) but
+    reverse byte-exactly — values above 255 must survive."""
+    rng = np.random.default_rng(ct * 10 + filters[0] + 1)
+    px = rng.integers(0, 65536, (5, 4, ch), dtype=np.uint16)
+    got = _png_pixels(make_png(px, ct, filters))
+    assert got is not None
+    w, h, c, arr = got
+    assert (w, h, c) == (4, 5, ch)
+    assert arr.dtype == np.uint16 and (arr == px).all()
+
+
+@pytest.mark.parametrize("size", [(1, 1), (3, 3), (8, 8), (9, 10),
+                                  (2, 13), (16, 5)])
+@pytest.mark.parametrize("depth", [8, 16])
+def test_roundtrip_adam7(size, depth):
+    """r6: Adam7 — seven independently-filtered sub-images re-strided
+    into place; odd sizes exercise the empty-pass arithmetic."""
+    w, h = size
+    rng = np.random.default_rng(w * 100 + h + depth)
+    px = (rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+          if depth == 16
+          else rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    got = _png_pixels(make_png(px, 2, [0, 1, 2, 3, 4], interlace=1))
+    assert got is not None
+    assert (got[0], got[1], got[2]) == (w, h, 3)
+    assert (got[3] == px).all()
+
+
+def test_roundtrip_adam7_palette():
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 6, (9, 9, 1), dtype=np.uint8)
+    plte = bytes(rng.integers(0, 256, 18, dtype=np.uint8))
+    got = _png_pixels(make_png(idx, 3, [0, 2], plte=plte, interlace=1))
+    assert got is not None
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert (got[3] == pal[idx.reshape(-1)].reshape(9, 9, 3)).all()
+
+
+def test_16bit_palette_rejected():
+    """Palette color type is 8-bit-max per spec §11.2.2."""
+    idx = np.zeros((2, 2, 1), dtype=np.uint16)
+    plte = bytes(9)
+    assert _png_pixels(make_png(idx, 3, [0], plte=plte)) is None
+
+
+def test_16bit_stats_exact_division():
+    px = np.zeros((2, 3, 1), dtype=np.uint16)
+    px[:, :, 0] = 40000
+    s = png_pixel_stats(make_png(px, 0, [2]))
+    assert (s["px_min"], s["px_max"], s["px_mean"]) == \
+        (40000, 40000, 40000.0)
+    assert s["ch0_mean"] == 40000.0 and s["ch1_mean"] is None
+
+
 @pytest.mark.parametrize("mutate", [
-    "depth16", "interlaced", "truncated", "bad_deflate", "not_png"])
+    "depth4", "interlace2", "truncated", "bad_deflate", "not_png"])
 def test_rejects(mutate):
     px = np.zeros((2, 2, 1), dtype=np.uint8)
     raw = make_png(px, 0, [0])
-    if mutate == "depth16":
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    if mutate == "depth4":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
         raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
-    elif mutate == "interlaced":
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    elif mutate == "interlace2":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
         raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
     elif mutate == "truncated":
         raw = raw[:30]
