@@ -109,6 +109,43 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
     return df.mapInPandas(run, out_schema)
 
 
+def validate_table(df: DataFrame, schema: dict | bool,
+                   draft: str | None = None,
+                   format_assertion: bool | None = None,
+                   out_valid: str = "valid",
+                   out_violations: str = "violations") -> DataFrame:
+    """One-call engine selection over a TYPED table: compile columnar
+    (pure-JVM Column predicates) when the schema lowers, otherwise fall
+    back to the Arrow interpreter by rendering each row as a JSON
+    document (``to_json`` omits NULL fields — the engine-wide
+    "NULL column = absent property" convention).
+
+    The fallback triggers at COMPILE time (external/dynamic refs,
+    non-productive cycles, any unlowerable keyword) and at PLAN-BUILD
+    time (recursive ``$ref`` over a table whose column types nest
+    deeper than the inline unroll — compiler.py UNROLL_GUARD_KEY).
+    Bound: the interp route sees non-JSON-native column types the way
+    ``to_json`` renders them (binary -> base64 string, timestamps ->
+    ISO strings), so prefer the columnar route — which handles them
+    natively — for schemas that lower."""
+    from m3spark.columnar import ColumnarValidator, UnsupportedKeyword
+
+    try:
+        cv = ColumnarValidator(schema, draft=draft,
+                               format_assertion=format_assertion)
+        return cv.apply(df, out_valid=out_valid,
+                        out_violations=out_violations)
+    except UnsupportedKeyword:
+        pass
+    doc = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    out = validate_json(df.withColumn("_m3_doc", doc), schema,
+                        doc_col="_m3_doc", draft=draft,
+                        format_assertion=format_assertion,
+                        out_valid=out_valid,
+                        out_violations=out_violations)
+    return out.drop("_m3_doc")
+
+
 def violation_rows(df: DataFrame, key_col: str = "url",
                    violations_col: str = "violations") -> DataFrame:
     """Explode the violations column into the north-star violation table:

@@ -144,3 +144,47 @@ def test_columnar_unsupported_raises(spark):
         ColumnarValidator({"properties": {
             "a": {"$ref": "https://example.com/schema.json"}}})
     assert "$ref" in str(ei.value)
+
+
+def test_validate_table_engine_selection(spark):
+    """r6: validate_table picks columnar when the schema lowers and
+    falls back to the Arrow interp both at compile time (dynamic ref)
+    and at plan-build time (recursion deeper than the unroll) — same
+    verdicts either way."""
+    from m3spark.sparkval import validate_table
+
+    rec = {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$defs": {"node": {
+            "type": "object",
+            "properties": {"v": {"maximum": 10},
+                           "child": {"$ref": "#/$defs/node"}}}},
+        "properties": {"t": {"$ref": "#/$defs/node"}},
+    }
+    shallow = spark.createDataFrame(
+        [({"v": 5, "child": {"v": 20}},), ({"v": 5, "child": {"v": 3}},),
+         (None,)],
+        "t struct<v:int,child:struct<v:int>>")
+    out = validate_table(shallow, rec)
+    assert [r["valid"] for r in out.collect()] == [False, True, True]
+    # shallow: pure JVM, no Python stages
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and plan.count("Python") == 0
+
+    deep_ddl = "struct<v:int>"
+    for _ in range(10):
+        deep_ddl = f"struct<v:int,child:{deep_ddl}>"
+    deep = spark.createDataFrame(
+        [({"v": 20, "child": None},), ({"v": 1, "child": None},)],
+        f"t {deep_ddl}")
+    out2 = validate_table(deep, rec)
+    assert [r["valid"] for r in out2.collect()] == [False, True]
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan2  # interp fallback route
+
+    dyn = {"$schema": "https://json-schema.org/draft/2020-12/schema",
+           "$defs": {"x": {"$dynamicAnchor": "it", "type": "string"}},
+           "properties": {"a": {"$dynamicRef": "#it"}}}
+    df = spark.createDataFrame([("ok",), (None,)], "a string")
+    out3 = validate_table(df, dyn)
+    assert [r["valid"] for r in out3.collect()] == [True, True]
