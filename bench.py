@@ -119,6 +119,8 @@ def run_bench() -> dict:
         "dedup_embedding_lsh", "val_unevaluated_events",
         # round-5 additions
         "val_ref_defs_orders", "multimodal_pixel_stats",
+        # round-6 addition: batch-IVF planted-recall (KMeans quantizer)
+        "ann_ivf_embeddings",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
