@@ -834,6 +834,82 @@ concat('89504E470D0A1A0A', '0000000D49484452',
        '0000000049454E44AE426082'))))"""
 
 
+# full-sample WAV battery (r6): complete PCM files in closed form.
+# Per doc_id d: d%3 picks 8-bit mono / 16-bit stereo / 24-bit mono;
+# n=(d%5)+1 frames at rate 8000+(d%4)*4000; sample values follow the
+# arithmetic progression a + i*b (+ c*k on ch1, scaled x1000-50000 for
+# 24-bit so negatives and >16-bit magnitudes are exercised), with
+# a=d%97, b=d%7, k=d%11 — every statistic is then a closed-form
+# arithmetic-series sum the oracle recomputes.  Every 13th file is a
+# truncated header -> all-NULL stats; every 7th-mod-3 file carries an
+# ODD-length LIST chunk before data (word-alignment walk).  The RIFF
+# size field is a dummy (decoder ignores it, ops/multimodal.py note).
+_AU_N = "CAST((doc_id % 5) + 1 AS INT)"
+_AU_RATE = "(8000 + (doc_id % 4) * 4000)"
+_AU_A = "(doc_id % 97)"
+_AU_B = "(doc_id % 7)"
+_AU_K = "(doc_id % 11)"
+
+
+def _le16(u: str) -> str:
+    return (f"concat(lpad(hex(({u}) % 256), 2, '0'),"
+            f" lpad(hex(CAST(FLOOR(({u}) / 256) AS INT) % 256), 2, '0'))")
+
+
+def _le24(u: str) -> str:
+    return (f"concat({_le16(u)},"
+            f" lpad(hex(CAST(FLOOR(({u}) / 65536) AS INT) % 256),"
+            f" 2, '0'))")
+
+
+def _wav_hex(ch: int, bits: int, frame_hex: str, data_len: str) -> str:
+    br = f"({_AU_RATE} * {ch} * {bits // 8})"
+    return f"""concat('52494646', '24000000', '57415645',
+        if(doc_id % 7 = 3, '4C4953540300000041424300', ''),
+        '666D7420', '10000000', '0100', '0{ch}00',
+        {_le16(_AU_RATE)}, '0000', {_le24(br)}, '00',
+        '0{ch * bits // 8}00', lpad(hex({bits}), 2, '0'), '00',
+        '64617461', lpad(hex({data_len}), 2, '0'), '000000',
+        array_join(transform(sequence(0, {_AU_N} - 1),
+                             i -> {frame_hex}), ''))"""
+
+
+_AU16_U0 = f"({_AU_A} + i * {_AU_B} - 64 + 65536) % 65536"
+_AU16_U1 = f"({_AU_A} + i * {_AU_B} + {_AU_K} - 64 + 65536) % 65536"
+_AU24_U = (f"(({_AU_A} + i * {_AU_B}) * 1000 - 50000 + 16777216)"
+           " % 16777216")
+AUDIO_WAV_HEX_SQL = f"""
+if(doc_id % 13 = 0, '524946460800000057415645',
+CASE CAST(doc_id % 3 AS INT)
+WHEN 0 THEN {_wav_hex(1, 8,
+    f"lpad(hex({_AU_A} + i * {_AU_B}), 2, '0')", _AU_N)}
+WHEN 1 THEN {_wav_hex(2, 16,
+    f"concat({_le16(_AU16_U0)}, {_le16(_AU16_U1)})", f"4 * {_AU_N}")}
+ELSE {_wav_hex(1, 24, _le24(_AU24_U), f"3 * {_AU_N}")}
+END)"""
+
+
+def q_multimodal_audio_stats(spark, sf_dir):
+    """Dependency-free FULL WAV PCM sample decode (RIFF chunk walk +
+    8/16/24-bit sample widening, ops/multimodal.py _wav_samples) through
+    the Arrow mapInPandas stage: per-file min/max/mean, per-channel
+    means, duration.  The oracle rebuilds every statistic from the
+    arithmetic-progression closed form as the same exact integer-sum /
+    integer-count division, so an endianness slip, sign-extension bug,
+    chunk-padding miss, or frame-interleave bug hash-mismatches."""
+    from m3spark.ops.multimodal import decode_audio_samples
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.expr(AUDIO_WAV_HEX_SQL)).alias("payload"))
+    return (decode_audio_samples(docs, "payload", "doc_id")
+            .select("doc_id", "n_frames", "channels", "sample_rate",
+                    "bits", "smp_min", "smp_max",
+                    F.round("smp_mean", 6).alias("smp_mean"),
+                    F.round("ch0_mean", 6).alias("ch0_mean"),
+                    F.round("ch1_mean", 6).alias("ch1_mean"),
+                    F.round("duration_sec", 9).alias("duration_sec")))
+
+
 def q_multimodal_pixel_stats(spark, sf_dir):
     """Dependency-free FULL PNG pixel decode (stdlib zlib inflate +
     scanline unfiltering, ops/multimodal.py _png_pixels) through the
@@ -947,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_image_headers": q_multimodal_image_headers,
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
+        "multimodal_audio_stats": q_multimodal_audio_stats,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
         # oracle-checked since r6 via the planted-recall bound (the
@@ -1499,6 +1576,65 @@ def oracle_sql() -> dict[str, str]:
                                                 2))::INT)) * 1.0
                          / (length(ph) / 2), 6) AS feature_mean
             FROM hx
+        """,
+        # full-sample WAV decode: every statistic predicted from the
+        # arithmetic-progression closed form as the SAME exact
+        # integer-sum / integer-count division the decoder performs
+        "multimodal_audio_stats": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST((doc_id % 5) + 1 AS BIGINT) AS n,
+                     (8000 + (doc_id % 4) * 4000) AS rate,
+                     (doc_id % 97) AS a,
+                     (doc_id % 7) AS st,
+                     (doc_id % 11) AS k,
+                     (doc_id % 13 = 0) AS bad,
+                     CAST(doc_id % 3 AS INT) AS var
+              FROM documents),
+            s AS (
+              SELECT *, (n * (n - 1)) // 2 AS tri FROM b)
+            SELECT doc_id,
+              CAST(CASE WHEN bad THEN NULL ELSE n END AS INT)
+                AS n_frames,
+              CAST(CASE WHEN bad THEN NULL WHEN var = 1 THEN 2
+                   ELSE 1 END AS INT) AS channels,
+              CAST(CASE WHEN bad THEN NULL ELSE rate END AS INT)
+                AS sample_rate,
+              CAST(CASE WHEN bad THEN NULL WHEN var = 0 THEN 8
+                   WHEN var = 1 THEN 16 ELSE 24 END AS INT) AS bits,
+              CAST(CASE WHEN bad THEN NULL
+                   WHEN var = 0 THEN a - 128
+                   WHEN var = 1 THEN a - 64
+                   ELSE a * 1000 - 50000 END AS BIGINT) AS smp_min,
+              CAST(CASE WHEN bad THEN NULL
+                   WHEN var = 0 THEN a + (n - 1) * st - 128
+                   WHEN var = 1 THEN a + (n - 1) * st + k - 64
+                   ELSE (a + (n - 1) * st) * 1000 - 50000
+                   END AS BIGINT) AS smp_max,
+              CASE WHEN bad THEN NULL
+                   WHEN var = 0 THEN round(
+                     (n * (a - 128) + st * tri) / CAST(n AS DOUBLE), 6)
+                   WHEN var = 1 THEN round(
+                     (2 * n * (a - 64) + 2 * st * tri + n * k)
+                     / CAST(2 * n AS DOUBLE), 6)
+                   ELSE round(
+                     (n * (a * 1000 - 50000) + 1000 * st * tri)
+                     / CAST(n AS DOUBLE), 6) END AS smp_mean,
+              CASE WHEN bad THEN NULL
+                   WHEN var = 0 THEN round(
+                     (n * (a - 128) + st * tri) / CAST(n AS DOUBLE), 6)
+                   WHEN var = 1 THEN round(
+                     (n * (a - 64) + st * tri) / CAST(n AS DOUBLE), 6)
+                   ELSE round(
+                     (n * (a * 1000 - 50000) + 1000 * st * tri)
+                     / CAST(n AS DOUBLE), 6) END AS ch0_mean,
+              CASE WHEN bad OR var <> 1 THEN NULL
+                   ELSE round((n * (a - 64 + k) + st * tri)
+                              / CAST(n AS DOUBLE), 6) END AS ch1_mean,
+              CASE WHEN bad THEN NULL
+                   ELSE round(n / CAST(rate AS DOUBLE), 9) END
+                AS duration_sec
+            FROM s
         """,
         # full-pixel PNG decode: every statistic predicted from the
         # stored-deflate closed form as the SAME exact integer-sum /

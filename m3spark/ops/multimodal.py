@@ -27,7 +27,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    DoubleType, IntegerType, StringType, StructField, StructType,
+    DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 FEATURE_SCHEMA = StructType([
@@ -329,6 +330,139 @@ def decode_image_pixels(df: DataFrame, binary_col: str,
                 col = feats.map(lambda d, _k=f.name: d[_k])
                 if isinstance(f.dataType, IntegerType):
                     col = col.astype("Int32")
+                out[f.name] = col
+            yield out
+
+    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM sample decode — dependency-free RIFF chunk walk (word-aligned
+# chunk skipping per the RIFF spec) + PCM sample widening: 8-bit
+# unsigned (decoded to centered amplitude, value-128, the format's
+# canonical interpretation), 16-bit signed LE, 24-bit signed LE packed
+# (manual 3-byte widening), 32-bit signed LE.  audio_format must be 1
+# (integer PCM); float/extensible/compressed forms return None
+# (declared unsupported).  The RIFF size field and fmt byte-rate /
+# block-align are NOT trusted (tolerant decode, same stance as the PNG
+# path): frame layout derives from bits-per-sample x channels, and a
+# trailing partial frame is dropped.
+
+
+def _wav_chunks(raw: bytes):
+    i = 12
+    n = len(raw)
+    while i + 8 <= n:
+        cid = raw[i:i + 4]
+        ln = int.from_bytes(raw[i + 4:i + 8], "little")
+        data = raw[i + 8:i + 8 + ln]
+        if len(data) < ln:
+            return  # truncated chunk
+        yield cid, data
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned (RIFF spec)
+
+
+def _wav_samples(raw: bytes):
+    """(channels, sample_rate, bits, n_frames x channels int ndarray)
+    or None."""
+    import numpy as np
+
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    for cid, d in _wav_chunks(raw):
+        if cid == b"fmt " and fmt is None:
+            fmt = d
+        elif cid == b"data" and data is None:
+            data = d
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    afmt = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if afmt != 1 or ch == 0 or rate == 0 or bits not in (8, 16, 24, 32):
+        return None
+    block = (bits // 8) * ch
+    nfr = len(data) // block
+    if nfr == 0:
+        return None
+    buf = data[:nfr * block]
+    if bits == 8:
+        smp = np.frombuffer(buf, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        smp = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+    elif bits == 32:
+        smp = np.frombuffer(buf, dtype="<i4").astype(np.int64)
+    else:  # 24-bit: widen 3-byte little-endian groups with sign
+        b = (np.frombuffer(buf, dtype=np.uint8)
+             .reshape(-1, 3).astype(np.int64))
+        smp = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        smp = smp - ((smp >> 23) & 1) * (1 << 24)
+    return ch, rate, bits, smp.reshape(nfr, ch)
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("n_frames", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("bits", IntegerType()),
+    StructField("smp_min", LongType()),
+    StructField("smp_max", LongType()),
+    StructField("smp_mean", DoubleType()),
+    StructField("ch0_mean", DoubleType()),
+    StructField("ch1_mean", DoubleType()),
+    StructField("duration_sec", DoubleType()),
+])
+
+_NULL_AUDIO = {f.name: None for f in AUDIO_SCHEMA.fields}
+
+
+def wav_sample_stats(raw: bytes) -> dict:
+    """Per-file PCM sample statistics from the full decode.  Means and
+    duration are one exact-integer-sum / exact-integer-count IEEE
+    division each, so a SQL oracle computing the same integers predicts
+    them bit-for-bit (same convention as png_pixel_stats)."""
+    dec = _wav_samples(raw) if raw else None
+    if dec is None:
+        return dict(_NULL_AUDIO)
+    ch, rate, bits, smp = dec
+    nfr = smp.shape[0]
+    flat = smp.reshape(-1)
+    out = {
+        "n_frames": nfr, "channels": ch, "sample_rate": rate,
+        "bits": bits, "smp_min": int(flat.min()),
+        "smp_max": int(flat.max()),
+        "smp_mean": int(flat.sum()) / (nfr * ch),
+        "duration_sec": nfr / rate,
+    }
+    for c in range(2):
+        out[f"ch{c}_mean"] = (int(smp[:, c].sum()) / nfr
+                              if c < ch else None)
+    return out
+
+
+def decode_audio_samples(df: DataFrame, binary_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, n_frames, channels, sample_rate, bits, smp_min, smp_max,
+    smp_mean, ch0_mean, ch1_mean, duration_sec) via the same Arrow
+    mapInPandas shape as decode_image_pixels — the real PCM path."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name == id_col]
+        + list(AUDIO_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[binary_col].map(
+                lambda b: wav_sample_stats(bytes(b)) if b is not None
+                else dict(_NULL_AUDIO))
+            out = pd.DataFrame({id_col: pdf[id_col]})
+            for f in AUDIO_SCHEMA.fields:
+                col = feats.map(lambda d, _k=f.name: d[_k])
+                if isinstance(f.dataType, IntegerType):
+                    col = col.astype("Int32")
+                elif isinstance(f.dataType, LongType):
+                    col = col.astype("Int64")
                 out[f.name] = col
             yield out
 
