@@ -515,10 +515,13 @@ def run_scaling_gated(e_low: int = 2, e_high: int = 8,
             attempt["attribution"] = _attribute(lo["stage_metrics"],
                                                 hi["stage_metrics"])
         attempts_out.append(attempt)
+        # persist immediately: a killed run must not lose landed
+        # attempts (the summary recomputation below reads full history)
+        _append_history([attempt], n_pages, mode="cluster")
         order_lo_first = not order_lo_first
         print(json.dumps({"window": window, "attempt": attempt}),
               file=sys.stderr, flush=True)
-    history = _append_history(attempts_out, n_pages, mode="cluster")
+    history = _append_history([], n_pages, mode="cluster")
     gated_all, skips_all = _gated_history()
     med = (statistics.median(a["efficiency"] for a in attempts_out)
            if attempts_out else None)
@@ -1082,6 +1085,23 @@ ratio is the deepened schema's work (more variant predicates per row);
 the engine-attributable ratio is 1.546 / 1.556 = **0.99**.  The r4
 `weak` perf flag on this query is cleared: still 0 Python stages,
 hash-exact, and the added cost buys the deep contentSchema coverage.
+
+## Round-5 bench deltas: attributed (r6 same-window ABBA A/B)
+
+Same methodology, round-4 tree (087a7cb) vs current
+(`python tools/ab_bench.py 087a7cb <query>`, fresh JVM per side,
+3 ABBA invocations x 5 timed runs each, sf0.1):
+
+| query | r4->r5 recorded delta | same-window evidence | verdict |
+|---|---|---|---|
+| dedup_exact_documents | +101% | per-invocation medians swing 3x on BOTH trees (r4 0.61-0.96 s, current 0.53-1.81 s); quiet-window minima: current 0.534 <= r4 0.613 | host-window noise on a sub-second query; no regression |
+| minhash_pairs_documents | +26% | bimodal on BOTH trees (r4 invocation medians 3.05/7.04/10.2 s, current 2.70/2.74/10.4 s); quiet minima: current 2.70 <= r4 3.05 | host-window noise; current quiet-window time is FASTER |
+| val_content_documents | +22% (and r6 grew it further) | cross-tree ratio 1.578, STABLE across runs — real, but r6 added combinators (allOf/anyOf/oneOf/not/if-then-else) inside contentSchema to this query; same-tree split (current engine, combinator-stripped mod-12 schema vs full, interleaved ABBA, 20 runs) = **1.466** feature ratio -> engine residual 1.578 / 1.466 = **1.08**, inside the two sides' overlapping run envelopes | deliberate feature cost (the combinator-in-contentSchema lowering, ~1.47x more variant predicates per row); engine clean |
+
+The bimodality pattern (identical plans 2.7 s vs 10.4 s within one
+JVM, on BOTH trees) is the same host behavior the membw baseline
+quantifies below — it is why sub-second and shuffle-light queries are
+only judged on quiet-window minima and same-window ratios here.
 
 ## The memory-bandwidth baseline (r5): why some windows are bad
 
