@@ -834,6 +834,61 @@ concat('89504E470D0A1A0A', '0000000D49484452',
        '0000000049454E44AE426082'))))"""
 
 
+# full-pixel JPEG battery (r6): complete BASELINE JPEG files in closed
+# form — DC-only blocks with a flat q=8 quant table and 1-bit Huffman
+# codes make the entropy segment a single byte per block (2*v), and the
+# T.81 IDCT of a DC-only block is the constant v*q/8 = v, so every
+# pixel is exactly 128+v (gray) or the JFIF YCbCr->RGB transform of
+# three such constants (color, exercising round+clamp).  Per doc_id d:
+# d even -> grayscale, odd -> 3-component 4:4:4; w=(d%8)+1, h=(d%6)+1
+# (single MCU, decoder crops); vy=32+(d%32), vcb=32+(7d%32),
+# vcr=32+(11d%32) keep DC category fixed at 6.  Every 13th file is a
+# truncated header -> all-NULL stats.
+_JPG_W = "CAST((doc_id % 8) + 1 AS INT)"
+_JPG_H = "CAST((doc_id % 6) + 1 AS INT)"
+_JPG_VY = "(32 + (doc_id % 32))"
+_JPG_VCB = "(32 + ((doc_id * 7) % 32))"
+_JPG_VCR = "(32 + ((doc_id * 11) % 32))"
+_JPG_TABLES = ("'FFDB004300', repeat('08', 64),"
+               " 'FFC4001400', '01', repeat('00', 15), '06',"
+               " 'FFC4001410', '01', repeat('00', 15), '00'")
+JPEG_PIXEL_HEX_SQL = f"""
+if(doc_id % 13 = 0, 'FFD8FF',
+if(doc_id % 2 = 0,
+  concat('FFD8', {_JPG_TABLES},
+    'FFC0000B08', lpad(hex({_JPG_H}), 4, '0'),
+    lpad(hex({_JPG_W}), 4, '0'), '01011100',
+    'FFDA0008010100003F00',
+    lpad(hex(2 * {_JPG_VY}), 2, '0'), 'FFD9'),
+  concat('FFD8', {_JPG_TABLES},
+    'FFC0001108', lpad(hex({_JPG_H}), 4, '0'),
+    lpad(hex({_JPG_W}), 4, '0'), '03011100021100031100',
+    'FFDA000C03010002000300003F00',
+    lpad(hex(2 * {_JPG_VY}), 2, '0'),
+    lpad(hex(2 * {_JPG_VCB}), 2, '0'),
+    lpad(hex(2 * {_JPG_VCR}), 2, '0'), 'FFD9')))"""
+
+
+def q_multimodal_jpeg_stats(spark, sf_dir):
+    """Dependency-free BASELINE JPEG full-pixel decode (marker walk,
+    canonical Huffman entropy decode, dequant + basis-matrix IDCT,
+    JFIF color transform — ops/jpeg.py) through the same Arrow
+    mapInPandas dispatch as the PNG path.  The oracle rebuilds every
+    statistic from the DC-only closed form (constant v*q/8 blocks;
+    round-then-clamp YCbCr->RGB for color), so a Huffman mis-decode,
+    IDCT normalization slip, or color-matrix bug hash-mismatches."""
+    from m3spark.ops.multimodal import decode_image_pixels
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(F.expr(JPEG_PIXEL_HEX_SQL)).alias("payload"))
+    return (decode_image_pixels(docs, "payload", "doc_id")
+            .select("doc_id", "width", "height", "channels", "px_min",
+                    "px_max", F.round("px_mean", 6).alias("px_mean"),
+                    F.round("ch0_mean", 6).alias("ch0_mean"),
+                    F.round("ch1_mean", 6).alias("ch1_mean"),
+                    F.round("ch2_mean", 6).alias("ch2_mean")))
+
+
 # full-sample WAV battery (r6): complete PCM files in closed form.
 # Per doc_id d: d%3 picks 8-bit mono / 16-bit stereo / 24-bit mono;
 # n=(d%5)+1 frames at rate 8000+(d%4)*4000; sample values follow the
@@ -1024,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_headers": q_multimodal_image_headers,
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
         "multimodal_audio_stats": q_multimodal_audio_stats,
+        "multimodal_jpeg_stats": q_multimodal_jpeg_stats,
         "pages_validate": q_pages_validate,
         "hll_stats_events": q_hll_stats_events,
         # oracle-checked since r6 via the planted-recall bound (the
@@ -1576,6 +1632,49 @@ def oracle_sql() -> dict[str, str]:
                                                 2))::INT)) * 1.0
                          / (length(ph) / 2), 6) AS feature_mean
             FROM hx
+        """,
+        # full-pixel BASELINE JPEG decode: DC-only closed form — every
+        # pixel is 128+v (gray) or the round-then-clamp JFIF transform
+        # of three such constants (color); stats follow exactly
+        "multimodal_jpeg_stats": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST((doc_id % 8) + 1 AS INT) AS w,
+                     CAST((doc_id % 6) + 1 AS INT) AS h,
+                     CAST(160 + (doc_id % 32) AS DOUBLE) AS y,
+                     CAST(32 + ((doc_id * 7) % 32) AS DOUBLE) AS cb,
+                     CAST(32 + ((doc_id * 11) % 32) AS DOUBLE) AS cr,
+                     (doc_id % 13 = 0) AS bad,
+                     (doc_id % 2 = 0) AS gray
+              FROM documents),
+            c AS (
+              SELECT *,
+                LEAST(255.0, GREATEST(0.0,
+                    round(y + 1.402 * cr))) AS r,
+                LEAST(255.0, GREATEST(0.0,
+                    round(y - 0.344136 * cb - 0.714136 * cr))) AS g,
+                LEAST(255.0, GREATEST(0.0,
+                    round(y + 1.772 * cb))) AS b2
+              FROM b)
+            SELECT doc_id,
+              CASE WHEN bad THEN NULL ELSE w END AS width,
+              CASE WHEN bad THEN NULL ELSE h END AS height,
+              CASE WHEN bad THEN NULL WHEN gray THEN 1 ELSE 3 END
+                AS channels,
+              CAST(CASE WHEN bad THEN NULL WHEN gray THEN y
+                   ELSE LEAST(r, g, b2) END AS INT) AS px_min,
+              CAST(CASE WHEN bad THEN NULL WHEN gray THEN y
+                   ELSE GREATEST(r, g, b2) END AS INT) AS px_max,
+              CASE WHEN bad THEN NULL
+                   WHEN gray THEN round(y, 6)
+                   ELSE round((r + g + b2) / 3.0, 6) END AS px_mean,
+              CASE WHEN bad THEN NULL WHEN gray THEN round(y, 6)
+                   ELSE round(r, 6) END AS ch0_mean,
+              CASE WHEN bad OR gray THEN NULL ELSE round(g, 6) END
+                AS ch1_mean,
+              CASE WHEN bad OR gray THEN NULL ELSE round(b2, 6) END
+                AS ch2_mean
+            FROM c
         """,
         # full-sample WAV decode: every statistic predicted from the
         # arithmetic-progression closed form as the SAME exact

@@ -289,11 +289,26 @@ PIXEL_SCHEMA = StructType([
 _NULL_PIXELS = {f.name: None for f in PIXEL_SCHEMA.fields}
 
 
-def png_pixel_stats(raw: bytes) -> dict:
-    """Per-image pixel statistics from the full decode.  Means are one
-    exact-integer-sum / exact-integer-count IEEE division, so a SQL
-    oracle computing the same two integers predicts them bit-for-bit."""
-    dec = _png_pixels(raw) if raw else None
+def _image_pixels(raw: bytes):
+    """Magic-dispatched full pixel decode: PNG (this module) or
+    baseline JPEG (ops/jpeg.py).  Returns (w, h, ch, ndarray) or
+    None."""
+    if not raw:
+        return None
+    if raw[:8] == _PNG_SIG:
+        return _png_pixels(raw)
+    if raw[:2] == b"\xff\xd8":
+        from m3spark.ops.jpeg import jpeg_pixel_stats_input
+        return jpeg_pixel_stats_input(raw)
+    return None
+
+
+def image_pixel_stats(raw: bytes) -> dict:
+    """Per-image pixel statistics from the full decode (PNG or baseline
+    JPEG).  Means are one exact-integer-sum / exact-integer-count IEEE
+    division, so a SQL oracle computing the same two integers predicts
+    them bit-for-bit."""
+    dec = _image_pixels(raw) if raw else None
     if dec is None:
         return dict(_NULL_PIXELS)
     w, h, ch, px = dec
@@ -311,6 +326,11 @@ def png_pixel_stats(raw: bytes) -> dict:
     return stats
 
 
+def png_pixel_stats(raw: bytes) -> dict:
+    """PNG-era name kept for callers/tests; dispatch is now shared."""
+    return image_pixel_stats(raw)
+
+
 def decode_image_pixels(df: DataFrame, binary_col: str,
                         id_col: str) -> DataFrame:
     """(id, width, height, channels, px_min, px_max, px_mean,
@@ -323,7 +343,7 @@ def decode_image_pixels(df: DataFrame, binary_col: str,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf[binary_col].map(
-                lambda b: png_pixel_stats(bytes(b)) if b is not None
+                lambda b: image_pixel_stats(bytes(b)) if b is not None
                 else dict(_NULL_PIXELS))
             out = pd.DataFrame({id_col: pdf[id_col]})
             for f in PIXEL_SCHEMA.fields:
