@@ -119,8 +119,10 @@ def run_bench() -> dict:
         "dedup_embedding_lsh", "val_unevaluated_events",
         # round-5 additions
         "val_ref_defs_orders", "multimodal_pixel_stats",
-        # round-6 addition: batch-IVF planted-recall (KMeans quantizer)
-        "ann_ivf_embeddings",
+        # round-6 additions: batch-IVF planted-recall (KMeans
+        # quantizer), baseline-JPEG + WAV-PCM full decodes
+        "ann_ivf_embeddings", "multimodal_jpeg_stats",
+        "multimodal_audio_stats",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())

@@ -33,8 +33,9 @@ EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
                    "multimodal_image_headers", "val_recursive_ref",
                    # vectorized matmul LSH hashing (lsh_buckets_arrow)
                    "dedup_embedding_lsh", "lsh_ann_embeddings",
-                   # full PNG pixel decode (declared Arrow stage)
-                   "multimodal_pixel_stats"}
+                   # full pixel/sample decode (declared Arrow stages)
+                   "multimodal_pixel_stats", "multimodal_jpeg_stats",
+                   "multimodal_audio_stats"}
 
 
 def _count_executing_exchanges(plan: str) -> int:
