@@ -412,8 +412,16 @@ def _append_skips(skips: list):
     except (OSError, ValueError):
         hist = []
     hist.extend(dict(s, mode="cluster-skip") for s in skips)
-    with open(_HISTORY_PATH, "w") as f:
+    _write_history_atomic(hist)
+
+
+def _write_history_atomic(hist: list):
+    """tmp + os.replace: a kill mid-write must never truncate the
+    history file (whose next reader would silently reset it to [])."""
+    tmp = _HISTORY_PATH + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(hist, f, indent=1)
+    os.replace(tmp, _HISTORY_PATH)
 
 
 def _gated_history() -> tuple[list, list]:
@@ -796,8 +804,7 @@ def _append_history(attempts_out: list, n_pages: int,
     except (OSError, ValueError):
         hist = []
     hist.extend(dict(a, pages=n_pages, mode=mode) for a in attempts_out)
-    with open(_HISTORY_PATH, "w") as f:
-        json.dump(hist, f, indent=1)
+    _write_history_atomic(hist)
     same = [a for a in hist if a.get("mode", "threads") == mode]
     effs = sorted(a["efficiency"] for a in same)
     norms = sorted(a.get("normalized_efficiency", 0) for a in same)

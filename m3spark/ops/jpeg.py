@@ -4,9 +4,12 @@ Scope (declared): baseline + extended-sequential HUFFMAN processes
 (SOF0/SOF1), 8-bit samples, grayscale or 3-component YCbCr with any
 h/v subsampling factors <= 2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart
 markers, multi-table DQT/DHT, 16-bit quantizer entries.  Progressive
-(SOF2), arithmetic coding (SOF9+), 12-bit precision, and 4-component
-(CMYK) streams return None — the callers' declared-unsupported path,
-same stance as the PNG decoder's sub-byte depths.
+(SOF2), arithmetic coding (SOF9+), 12-bit precision, 4-component
+(CMYK) streams, and frames over 64M pixels (an allocation bound
+against crafted headers) return None — the callers' declared-
+unsupported path, same stance as the PNG decoder's sub-byte depths.
+Single-component scans decode NON-interleaved (one data unit per MCU,
+T.81 A.2) regardless of the declared sampling factors.
 
 Pipeline per the spec: marker walk -> entropy decode (byte-unstuffed
 bitstream, per-component DC predictors reset at RSTn) -> dequantize ->
@@ -75,12 +78,10 @@ class _BitReader:
                     else 0xD9
                 if nxt == 0x00:
                     self.i += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    self.marker = nxt
-                    self.bits = (self.bits << 8) | 0xFF
-                    self.nbits += 8
-                    continue
                 else:
+                    # any real marker (RSTn handled by the caller's
+                    # restart(); everything else ends the scan): stop
+                    # consuming and pad with 1-bits per F.2.2.5
                     self.marker = nxt
                     self.bits = (self.bits << 8) | 0xFF
                     self.nbits += 8
@@ -238,8 +239,15 @@ def _jpeg_pixels(raw: bytes):
 
 def _decode_scan(raw, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
                  restart_interval, np, A):
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU in raster order of the component's own
+        # grid; the declared sampling factors do not shape the scan.
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if w * h > (1 << 26):
+        return None  # declared bound: refuse >64M-pixel allocations
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = []
@@ -260,10 +268,6 @@ def _decode_scan(raw, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
         for mx in range(mcux):
             if restart_interval and mcu_count \
                     and mcu_count % restart_interval == 0:
-                if br.marker is None:
-                    # reader may not have hit it yet: align + consume
-                    br.bits = 0
-                    br.nbits = 0
                 br.restart()
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
@@ -329,5 +333,5 @@ def jpeg_pixel_stats_input(raw: bytes):
     multimodal.image_pixels dispatch."""
     try:
         return _jpeg_pixels(raw)
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, MemoryError):
         return None

@@ -336,24 +336,8 @@ def decode_image_pixels(df: DataFrame, binary_col: str,
     """(id, width, height, channels, px_min, px_max, px_mean,
     ch0..ch3_mean) via the same Arrow mapInPandas shape as
     decode_binary_features — the real pixel path, not a stub."""
-    out_schema = StructType(
-        [f for f in df.schema.fields if f.name == id_col]
-        + list(PIXEL_SCHEMA.fields))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf[binary_col].map(
-                lambda b: image_pixel_stats(bytes(b)) if b is not None
-                else dict(_NULL_PIXELS))
-            out = pd.DataFrame({id_col: pdf[id_col]})
-            for f in PIXEL_SCHEMA.fields:
-                col = feats.map(lambda d, _k=f.name: d[_k])
-                if isinstance(f.dataType, IntegerType):
-                    col = col.astype("Int32")
-                out[f.name] = col
-            yield out
-
-    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+    return _binary_stats_op(df, binary_col, id_col, PIXEL_SCHEMA,
+                            image_pixel_stats, _NULL_PIXELS)
 
 
 # ---------------------------------------------------------------------------
@@ -462,22 +446,23 @@ def wav_sample_stats(raw: bytes) -> dict:
     return out
 
 
-def decode_audio_samples(df: DataFrame, binary_col: str,
-                         id_col: str) -> DataFrame:
-    """(id, n_frames, channels, sample_rate, bits, smp_min, smp_max,
-    smp_mean, ch0_mean, ch1_mean, duration_sec) via the same Arrow
-    mapInPandas shape as decode_image_pixels — the real PCM path."""
+def _binary_stats_op(df: DataFrame, binary_col: str, id_col: str,
+                     schema: StructType, stats_fn,
+                     null_row: dict) -> DataFrame:
+    """Shared Arrow mapInPandas scaffolding for per-blob stats
+    decoders: (id, *schema fields), NULL row for NULL payloads,
+    nullable integer dtypes preserved."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name == id_col]
-        + list(AUDIO_SCHEMA.fields))
+        + list(schema.fields))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = pdf[binary_col].map(
-                lambda b: wav_sample_stats(bytes(b)) if b is not None
-                else dict(_NULL_AUDIO))
+                lambda b: stats_fn(bytes(b)) if b is not None
+                else dict(null_row))
             out = pd.DataFrame({id_col: pdf[id_col]})
-            for f in AUDIO_SCHEMA.fields:
+            for f in schema.fields:
                 col = feats.map(lambda d, _k=f.name: d[_k])
                 if isinstance(f.dataType, IntegerType):
                     col = col.astype("Int32")
@@ -489,27 +474,20 @@ def decode_audio_samples(df: DataFrame, binary_col: str,
     return df.select(id_col, binary_col).mapInPandas(run, out_schema)
 
 
+def decode_audio_samples(df: DataFrame, binary_col: str,
+                         id_col: str) -> DataFrame:
+    """(id, n_frames, channels, sample_rate, bits, smp_min, smp_max,
+    smp_mean, ch0_mean, ch1_mean, duration_sec) via the same Arrow
+    mapInPandas shape as decode_image_pixels — the real PCM path."""
+    return _binary_stats_op(df, binary_col, id_col, AUDIO_SCHEMA,
+                            wav_sample_stats, _NULL_AUDIO)
+
+
 def decode_binary_features(df: DataFrame, binary_col: str,
                            id_col: str) -> DataFrame:
     """(id, media_type, n_bytes, checksum, feature_mean, width, height,
     channels) via Arrow-batched mapInPandas — the hot-path shape for real
     decoders: one Python process per task, one Arrow batch per ~10k rows,
     columnar in/out."""
-    out_schema = StructType(
-        [f for f in df.schema.fields if f.name == id_col]
-        + list(FEATURE_SCHEMA.fields))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = pdf[binary_col].map(
-                lambda b: _decode_payload(bytes(b)) if b is not None
-                else _NULL_FEATURES)
-            out = pd.DataFrame({id_col: pdf[id_col]})
-            for f in FEATURE_SCHEMA.fields:
-                col = feats.map(lambda d, _k=f.name: d[_k])
-                if isinstance(f.dataType, IntegerType):
-                    col = col.astype("Int32")  # nullable int, not float
-                out[f.name] = col
-            yield out
-
-    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+    return _binary_stats_op(df, binary_col, id_col, FEATURE_SCHEMA,
+                            _decode_payload, _NULL_FEATURES)

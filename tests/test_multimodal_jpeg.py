@@ -45,9 +45,16 @@ def _idct_direct(F):
     return out
 
 
+def _scan_comps(comps):
+    """T.81 A.2: single-component scans are non-interleaved — one data
+    unit per MCU; sampling factors shape only multi-component scans."""
+    return [dict(comps[0], h=1, v=1)] if len(comps) == 1 else comps
+
+
 def _reference_decode(coeff_blocks, q, w, h, comps):
     """coeff_blocks[ci] = list of 8x8 quantized-coeff blocks in MCU
     order; rebuild pixels with the direct-formula pipeline."""
+    comps = _scan_comps(comps)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -193,6 +200,7 @@ def make_jpeg(coeff_blocks, qtabs, w, h, comps, restart=0,
         sos += bytes([c["id"], 0x00])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
+    comps = _scan_comps(comps)  # SOF keeps the declared factors
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -231,6 +239,7 @@ def _rand_blocks(rng, n, lo=-40, hi=40, sparse=0.8):
 
 
 def _n_blocks(w, h, comps):
+    comps = _scan_comps(comps)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -297,6 +306,31 @@ def test_color_vs_direct_formula(sub, restart):
     assert got is not None and got[:3] == (w, h, 3)
     np.testing.assert_array_equal(
         got[3], _reference_decode(blocks, [qy, qc, qc], w, h, comps))
+
+
+def test_gray_declared_2x2_noninterleaved():
+    """A single-component scan with DECLARED h=v=2 sampling must decode
+    identically to the same blocks declared 1x1 (T.81 A.2: one data
+    unit per MCU, raster order of the component's own grid)."""
+    w, h = 24, 16
+    rng = np.random.default_rng(99)
+    c22 = [{"id": 1, "h": 2, "v": 2, "tq": 0}]
+    c11 = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    q = np.ones((8, 8)) * 4
+    blocks = [_rand_blocks(rng, _n_blocks(w, h, c11)[0])]
+    got22 = _jpeg_pixels(make_jpeg(blocks, [q], w, h, c22))
+    got11 = _jpeg_pixels(make_jpeg(blocks, [q], w, h, c11))
+    assert got22 is not None and got11 is not None
+    np.testing.assert_array_equal(got22[3], got11[3])
+    np.testing.assert_array_equal(
+        got22[3], _reference_decode(blocks, [q], w, h, c22))
+
+
+def test_absurd_dimensions_rejected():
+    raw = bytearray(_dc_only_gray(40, 8, 8))
+    i = raw.index(b"\xff\xc0")
+    raw[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
+    assert _jpeg_pixels(bytes(raw)) is None
 
 
 def test_16bit_dqt():
