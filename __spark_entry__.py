@@ -711,6 +711,60 @@ def q_val_recursive_ref(spark, sf_dir):
             .select("doc_id", "keyword", "doc_path", "value"))
 
 
+DYNAMIC_SCHEMA = {
+    "$schema": "https://json-schema.org/draft/2020-12/schema",
+    "$dynamicRef": "#node",
+    "$defs": {"node": {
+        "$dynamicAnchor": "node",
+        "type": "object",
+        "required": ["v"],
+        "properties": {
+            "v": {"type": "integer", "minimum": 0, "maximum": 100},
+            "child": {"$dynamicRef": "#node"},
+        },
+    }},
+}
+
+
+def q_val_dynamic_ref(spark, sf_dir):
+    """2020-12 bookended $dynamicRef compiled COLUMNAR via static
+    scope-chain simulation (§2.8; reference property.cljc:170-197): in
+    the single-resource world the inliner enforces, the dynamic scope
+    can only ever hold the root resource, so `$dynamicRef: "#node"`
+    resolves statically to the root's $dynamicAnchor and the recursion
+    unrolls exactly like plain recursive $ref — the whole plan is
+    0-Python JVM codegen.  Same linked-list document construction as
+    val_recursive_ref but with distinct constants (values
+    (doc_id*11 + depth) %% 130), so the two queries cannot mask each
+    other; the oracle re-derives every expected `maximum` violation
+    (doc_id, /child/.../v pointer, offending value) in closed form."""
+    from m3spark.columnar import ColumnarValidator
+
+    parts_by_depth = []
+    for d in range(1, 5):
+        parts = []
+        for k in range(d):
+            parts.append(F.lit('{"v": ' if k == 0
+                               else ', "child": {"v": '))
+            parts.append(((F.col("doc_id") * 11 + k) % 130).cast("string"))
+        parts.append(F.lit("}" * d))
+        parts_by_depth.append(F.concat(*parts))
+    dep = (F.col("doc_id") % 4 + 1).cast("int")
+    doc = parts_by_depth[0]
+    for d in range(2, 5):
+        doc = F.when(dep == d, parts_by_depth[d - 1]).otherwise(doc)
+    ddl = "struct<v:int>"
+    for _ in range(3):
+        ddl = f"struct<v:int,child:{ddl}>"
+    typed = (_t(spark, sf_dir, "documents")
+             .select("doc_id", F.from_json(doc, ddl).alias("s"))
+             .select("doc_id", F.col("s.v").alias("v"),
+                     F.col("s.child").alias("child")))
+    cv = ColumnarValidator(DYNAMIC_SCHEMA)
+    return (cv.violation_rows(typed, key_col="doc_id")
+            .select("doc_id", "keyword", "doc_path", "value"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -1053,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_unevaluated_events": q_val_unevaluated_events,
         "val_content_documents": q_val_content_documents,
         "val_recursive_ref": q_val_recursive_ref,
+        "val_dynamic_ref": q_val_dynamic_ref,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -1268,6 +1323,16 @@ def oracle_sql() -> dict[str, str]:
                    repeat('/child', CAST(k AS INT)) || '/v' AS doc_path,
                    CAST((doc_id * 7 + k) % 120 AS VARCHAR) AS value
             FROM n WHERE (doc_id * 7 + k) % 120 > 100
+        """,
+        # same closed form for the $dynamicRef twin, constants 11/130
+        "val_dynamic_ref": """
+            WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) + 1 AS dep
+                       FROM documents),
+            n AS (SELECT doc_id, UNNEST(range(0, dep)) AS k FROM d)
+            SELECT doc_id, 'maximum' AS keyword,
+                   repeat('/child', CAST(k AS INT)) || '/v' AS doc_path,
+                   CAST((doc_id * 11 + k) % 130 AS VARCHAR) AS value
+            FROM n WHERE (doc_id * 11 + k) % 130 > 100
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count

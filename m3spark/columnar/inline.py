@@ -27,8 +27,9 @@ untouched (so the compiler's standing ``UnsupportedKeyword`` escape
 hatch routes it to the interpreter) whenever it sees:
 
 - an external / non-fragment reference (``$ref`` not starting ``#``);
-- ``$dynamicRef`` / ``$recursiveRef`` anywhere (dynamic scope cannot
-  be resolved statically);
+- a ``$dynamicRef`` whose target cannot be fixed statically (see
+  below — in the single-resource world this transform enforces, most
+  CAN be);
 - a nested ``$id``/``id`` that changes the base URI (non-fragment
   value below the root), which would alter pointer resolution;
 - a NON-PRODUCTIVE reference cycle (a ``$ref`` loop that re-enters
@@ -53,6 +54,32 @@ Only the tree positions that hold schemas are rewritten — literal
 values under ``enum`` / ``const`` / ``default`` / ``examples`` are
 copied verbatim, so data that merely *looks* like a ``$ref`` object is
 never touched.
+
+``$recursiveRef`` / ``$dynamicRef`` (SURVEY §2.8 "static scope-chain
+simulation"): because the transform already aborts on external refs
+and nested base-URI changes, every schema it processes is a SINGLE
+schema resource — so the runtime dynamic scope chain
+(core.py c_recursive_ref / c_dynamic_ref, reference
+property.cljc:131-197) can never hold more than that one resource and
+both keywords resolve statically:
+
+- ``$recursiveRef: "#"`` (active only in 2019-09) resolves to the
+  resource root whether or not it carries ``$recursiveAnchor`` —
+  with one resource in scope the dynamic and lexical answers
+  coincide — i.e. exactly ``$ref: "#"``;
+- ``$dynamicRef: "#name"`` (2020-12: bookended — dynamic only when
+  the target resource declares ``$dynamicAnchor: name``, else plain
+  ``$ref`` semantics; draft-next: no bookend, falling back to a plain
+  ``$anchor`` of that name) resolves to the root resource's matching
+  anchor node;
+- pointer-fragment forms (``#/...``) are plain references in every
+  draft;
+- in drafts where the keyword is INACTIVE (e.g. ``$dynamicRef`` under
+  draft-7) the interpreter ignores it entirely, so it is stripped.
+
+Resolved targets then flow through the same meld-as-allOf + unroll
+machinery as plain ``$ref`` (both keywords exist only in meld-era
+drafts).
 """
 
 from __future__ import annotations
@@ -61,7 +88,8 @@ import logging
 import os
 from urllib.parse import unquote
 
-from m3spark.schema.core import DRAFT3, DRAFT4, D2019, _ge
+from m3spark.schema.core import (DRAFT3, DRAFT4, D2019, D2020, DNEXT,
+                                 _ge, draft_of)
 
 __all__ = ["inline_local_refs", "UNROLL_GUARD_KEY"]
 
@@ -89,11 +117,12 @@ _MAP_SCHEMA_KEYS = ("properties", "patternProperties", "$defs",
 _LIST_SCHEMA_KEYS = ("allOf", "anyOf", "oneOf", "prefixItems")
 
 # inert after successful inlining: definition containers and anchors
-# (anchors matter only to refs, which no longer exist; dynamic anchors
-# matter only to $dynamicRef/$recursiveRef, whose presence aborts the
-# whole transform)
+# (anchors matter only to the ref family, which no longer exists in
+# the output — $recursiveRef/$dynamicRef are statically resolved or
+# the whole transform gave up)
 _STRIP_KEYS = frozenset({"$defs", "definitions", "$anchor",
                          "$dynamicAnchor", "$recursiveAnchor"})
+_REF_KEYS = ("$ref", "$recursiveRef", "$dynamicRef")
 
 _NODE_BUDGET = 20_000
 
@@ -156,6 +185,7 @@ class _Inliner:
         self.meld = _ge(draft, D2019)
         self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
         self.anchors: dict[str, object] = {}
+        self.dyn_anchors: dict[str, object] = {}
         self.budget = _NODE_BUDGET
         # dict nodes the feasibility scan has covered (by identity);
         # pointer targets outside known schema positions get a late scan
@@ -164,67 +194,102 @@ class _Inliner:
 
     # -- pre-scan: feasibility + anchor table ---------------------------
 
-    def _scan(self, node, top=False):
-        """Abort on dynamic refs / base-URI changes; collect anchors."""
+    def _scan(self, node, top=False, register=True):
+        """Abort on unsafe refs / base-URI changes; collect anchors.
+
+        ``register=False`` for the LATE scan of a pointer target outside
+        known schema positions: the interp's _Index never walks such
+        subtrees (core.py _iter_subschemas), so a $dynamicAnchor found
+        there is unregistered/inert in the interp and must stay
+        unregistered here too."""
         if isinstance(node, list):
             for x in node:
-                self._scan(x)
+                self._scan(x, register=register)
             return
         if not isinstance(node, dict):
             return
         self._visited.add(id(node))
-        if "$dynamicRef" in node or "$recursiveRef" in node:
-            raise _GiveUp("dynamic/recursive ref")
         r = node.get("$ref")
         if r is not None and (not isinstance(r, str)
                               or not r.startswith("#")):
             raise _GiveUp("external ref")
+        # $recursiveRef / $dynamicRef: statically resolvable here (see
+        # module docstring) when local; non-str values are ignored by
+        # the interpreter (core.py c_recursive_ref / c_dynamic_ref) and
+        # will be stripped, so only external STRING targets abort
+        for k in ("$recursiveRef", "$dynamicRef"):
+            v = node.get(k)
+            if isinstance(v, str) and not v.startswith("#") \
+                    and self._ref_active(k):
+                raise _GiveUp(f"external {k}")
+        da = node.get("$dynamicAnchor")
+        if isinstance(da, str) and self.draft in (D2020, DNEXT) \
+                and register:
+            if da in self.dyn_anchors:
+                if self.dyn_anchors[da] is not node:
+                    raise _GiveUp(f"duplicate dynamic anchor {da!r}")
+            else:
+                self.dyn_anchors[da] = node
+                # mirrors _Index.index: a $dynamicAnchor also answers
+                # plain $ref lookups unless a $anchor claims the name
+                self.anchors.setdefault(da, node)
         iv = node.get(self.id_key)
         if isinstance(iv, str) and iv:
             if iv.startswith("#"):
-                self._add_anchor(iv[1:], node)
+                if register:
+                    self._add_anchor(iv[1:], node)
             elif not top:
                 raise _GiveUp("nested base-URI change")
         av = node.get("$anchor")
-        if isinstance(av, str) and _ge(self.draft, D2019):
+        if isinstance(av, str) and _ge(self.draft, D2019) and register:
             self._add_anchor(av, node)
         # structural walk mirrors the transform's schema positions
         for k in _SINGLE_SCHEMA_KEYS:
             if k in node:
-                self._scan(node[k])
+                self._scan(node[k], register=register)
         for k in _MAP_SCHEMA_KEYS:
             v = node.get(k)
             if isinstance(v, dict):
                 for s in v.values():
-                    self._scan(s)
+                    self._scan(s, register=register)
         for k in _LIST_SCHEMA_KEYS:
             v = node.get(k)
             if isinstance(v, list):
                 for s in v:
-                    self._scan(s)
+                    self._scan(s, register=register)
         items = node.get("items")
         if isinstance(items, list):
             for s in items:
-                self._scan(s)
+                self._scan(s, register=register)
         else:
-            self._scan(items)
+            self._scan(items, register=register)
         ext = node.get("extends")
         if isinstance(ext, list):
             for s in ext:
-                self._scan(s)
+                self._scan(s, register=register)
         elif ext is not None:
-            self._scan(ext)
+            self._scan(ext, register=register)
         deps = node.get("dependencies")
         if isinstance(deps, dict):
             for v in deps.values():
                 if isinstance(v, (dict, bool)):
-                    self._scan(v)
+                    self._scan(v, register=register)
         pd = node.get("propertyDependencies")
         if isinstance(pd, dict):
             for m in pd.values():
                 if isinstance(m, dict):
                     for s in m.values():
-                        self._scan(s)
+                        self._scan(s, register=register)
+
+    def _ref_active(self, keyword: str) -> bool:
+        """Is this ref-family keyword active in the compile draft?
+        (core.py _KEYWORDS: $recursiveRef only in 2019-09, $dynamicRef
+        in 2020-12/next; plain $ref everywhere.)"""
+        if keyword == "$recursiveRef":
+            return self.draft == D2019
+        if keyword == "$dynamicRef":
+            return self.draft in (D2020, DNEXT)
+        return True
 
     def _add_anchor(self, name: str, node):
         if name in self.anchors:
@@ -257,11 +322,32 @@ class _Inliner:
             # target subtree so the dynamic-ref / nested-$id /
             # external-ref guards hold there too (r6 advice).
             if isinstance(node, dict) and id(node) not in self._visited:
-                self._scan(node)
+                self._scan(node, register=False)
             return node, f"#{frag}"
         if frag in self.anchors:
             return self.anchors[frag], f"#anchor:{frag}"
         raise _GiveUp(f"unresolvable anchor {ref!r}")
+
+    def _resolve_dynamic(self, ref: str):
+        """$dynamicRef target in the single-resource world (mirrors
+        core.py c_dynamic_ref with rt.scope == [root resource])."""
+        frag = unquote(ref[1:])
+        if frag == "" or frag.startswith("/"):
+            # pointer / empty fragment: plain-$ref semantics
+            return self._resolve(ref)
+        dyn = self.dyn_anchors.get(frag)
+        if dyn is not None:
+            # runtime scope walk finds this same node (only resource)
+            return dyn, f"#dyn:{frag}"
+        if self.draft == D2020:
+            # bookend unsatisfied -> plain $ref semantics
+            return self._resolve(ref)
+        # draft-next: static fallback to a plain anchor; with neither,
+        # the interp emits a per-row "no anchor in dynamic scope"
+        # error — leave that path to the interp
+        if frag in self.anchors:
+            return self.anchors[frag], f"#anchor:{frag}"
+        raise _GiveUp(f"unresolvable dynamic anchor {ref!r}")
 
     # -- transform ------------------------------------------------------
 
@@ -285,46 +371,92 @@ class _Inliner:
             return node
         self._spend()
         r = node.get("$ref")
-        if isinstance(r, str):
+        if isinstance(r, str) and not self.meld:
+            # drafts <= 7: $ref replaces every sibling ($recursiveRef /
+            # $dynamicRef are inactive there, so nothing else to meld)
             target, key = self._resolve(r)
-            tail_start = 0
-            for i in range(len(stack) - 1, -1, -1):
-                if stack[i] == _DESCENT:
-                    tail_start = i + 1
-                    break
-            if key in stack[tail_start:]:
-                raise _GiveUp(f"non-productive cycle through {r!r}")
-            if key in stack and stack.count(key) >= self.unroll:
-                _log.info(
-                    "recursive $ref %s unrolled %d levels; deeper input "
-                    "types raise UnsupportedKeyword at apply()",
-                    r, self.unroll)
-                expanded = {UNROLL_GUARD_KEY: r}
-            else:
-                expanded = self._schema(target, stack + (key,))
-            if not self.meld:
-                # drafts <= 7: $ref replaces every sibling
-                return expanded
-            siblings = {k: v for k, v in node.items() if k != "$ref"}
-            if not siblings:
-                return expanded
-            out = self._plain(siblings, stack, top)
-            if expanded is True or expanded == {}:
-                return out
-            branches = list(out.get("allOf", []))
-            branches.append(expanded)
-            out["allOf"] = branches
-            return out
-        return self._plain(node, stack, top)
+            return self._expand(target, key, r, stack)
+        # meld-era: each active ref-family keyword contributes an
+        # independent checker alongside its siblings (core.py
+        # _compile_object ordered keyword list) — expand each into an
+        # allOf branch
+        branches = []
+        had_ref = False
+        if isinstance(r, str):
+            had_ref = True
+            branches.append(self._expand(*self._resolve(r), r, stack))
+        rr = node.get("$recursiveRef")
+        if isinstance(rr, str) and self._ref_active("$recursiveRef"):
+            # "#" resolves to the resource root whether or not it has
+            # $recursiveAnchor (single resource in scope — docstring);
+            # non-"#" values fall back to plain-$ref semantics
+            # (core.py c_recursive_ref)
+            had_ref = True
+            branches.append(self._expand(*self._resolve(rr), rr, stack))
+        dr = node.get("$dynamicRef")
+        if isinstance(dr, str) and self._ref_active("$dynamicRef"):
+            had_ref = True
+            branches.append(
+                self._expand(*self._resolve_dynamic(dr), dr, stack))
+        if not had_ref:
+            return self._plain(node, stack, top)
+        siblings = {k: v for k, v in node.items() if k not in _REF_KEYS}
+        branches = [b for b in branches if b is not True and b != {}]
+        if not siblings:
+            if not branches:
+                return True
+            if len(branches) == 1:
+                return branches[0]
+            return {"allOf": branches}
+        out = self._plain(siblings, stack, top)
+        if branches:
+            out["allOf"] = list(out.get("allOf", [])) + branches
+        return out
+
+    def _expand(self, target, key: str, refstr: str, stack: tuple):
+        """Cycle-aware expansion of one resolved ref target."""
+        tail_start = 0
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] == _DESCENT:
+                tail_start = i + 1
+                break
+        if key in stack[tail_start:]:
+            raise _GiveUp(f"non-productive cycle through {refstr!r}")
+        if key in stack and stack.count(key) >= self.unroll:
+            _log.info(
+                "recursive ref %s unrolled %d levels; deeper input "
+                "types raise UnsupportedKeyword at apply()",
+                refstr, self.unroll)
+            return {UNROLL_GUARD_KEY: refstr}
+        return self._schema(target, stack + (key,))
 
     def _plain(self, node: dict, stack: tuple, top=False):
         out = {}
         for k, v in node.items():
             if k in _STRIP_KEYS:
                 continue
-            if k == self.id_key and isinstance(v, str) \
-                    and v.startswith("#") and not top:
-                continue  # inert anchor form of $id/id
+            if k in ("$recursiveRef", "$dynamicRef") and \
+                    (not self._ref_active(k) or not isinstance(v, str)):
+                # inactive in this draft, or a non-string value: the
+                # interpreter ignores it entirely (c_recursive_ref /
+                # c_dynamic_ref return None) — drop it so the compiler
+                # doesn't route the query to the interp over a no-op
+                continue
+            if k == self.id_key and isinstance(v, str) and not top:
+                # fragment form: inert anchor.  Non-fragment form can
+                # only be the ROOT's $id dragged in by inlining the
+                # root itself ($recursiveRef '#' / $ref '#'; _scan
+                # aborts on nested $id in the INPUT) — with every ref
+                # expanded, resource identity no longer matters
+                continue
+            if k == "$schema" and not top and isinstance(v, str) \
+                    and draft_of({"$schema": v}, self.draft) == self.draft:
+                # the root's own $schema re-inlined at a nested
+                # position: same draft, a no-op for the interp
+                # (core.py _compile draft_of) — strip so the compiler
+                # keeps the plan columnar.  A GENUINE mid-schema draft
+                # switch is kept (and routes to the interp).
+                continue
             # keywords applying to a CHILD value consume input depth:
             # mark the descent so a $ref loop through them counts as
             # productive (unrollable) rather than a flat cycle

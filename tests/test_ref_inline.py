@@ -287,11 +287,11 @@ def test_external_ref_routes_to_interp(spark):
         ColumnarValidator(schema)
 
 
-def test_dynamic_ref_routes_to_interp(spark):
+def test_external_dynamic_ref_routes_to_interp(spark):
+    """$dynamicRef to another resource cannot be fixed statically."""
     schema = {
         "$schema": D2020,
-        "$defs": {"x": {"$dynamicAnchor": "it", "type": "string"}},
-        "properties": {"a": {"$dynamicRef": "#it"}},
+        "properties": {"a": {"$dynamicRef": "https://ex.example/s#it"}},
     }
     with pytest.raises(UnsupportedKeyword):
         ColumnarValidator(schema)
@@ -386,3 +386,247 @@ def test_overlapping_unscanned_targets_anchor_idempotent():
     assert out["properties"]["a"] == {"type": "string"}
     assert out["properties"]["b"] == {
         "properties": {"q": {"type": "string"}}}
+
+
+# -- r6: static scope-chain simulation for $recursiveRef/$dynamicRef
+# -- (SURVEY §2.8) — single-resource world makes them static ------------
+
+DNEXT = "https://json-schema.org/draft/next/schema"
+
+
+def test_recursive_ref_2019_unrolls_columnar(spark):
+    """The 2019-09 tree idiom: $recursiveRef '#' resolves to the (only)
+    resource root whether or not it carries $recursiveAnchor — with one
+    resource in the dynamic scope the dynamic and lexical answers
+    coincide (core.py c_recursive_ref; reference
+    property.cljc:131-168,302-384)."""
+    for anchored in (True, False):
+        schema = {
+            "$schema": D2019, "type": "object",
+            "properties": {"next": {"$recursiveRef": "#"},
+                           "v": {"maximum": 10}},
+        }
+        if anchored:
+            schema["$recursiveAnchor"] = True
+        ddl = ("next struct<v:int,next:struct<v:int,next:struct<v:int>>>,"
+               "v int")
+        df = spark.createDataFrame(
+            [({"v": 3, "next": None}, 5),
+             ({"v": 30, "next": None}, 5),
+             (None, 50), (None, None)], ddl)
+        cv = ColumnarValidator(schema)
+        assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+        got = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+        docs = [json.dumps({"v": 5, "next": {"v": 3}}),
+                json.dumps({"v": 5, "next": {"v": 30}}),
+                json.dumps({"v": 50}), "{}"]
+        interp = [r["valid"] for r in validate_json(
+            spark.createDataFrame([(x,) for x in docs], "doc string"),
+            schema).collect()]
+        assert got == interp == [True, False, False, True], anchored
+
+
+def test_dynamic_ref_bookended_tree_unrolls(spark):
+    """2020-12 bookended $dynamicRef (the meta-schema idiom): resolves
+    to the root resource's $dynamicAnchor node and unrolls like plain
+    recursive $ref (core.py c_dynamic_ref; property.cljc:170-197)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"node": {
+            "$dynamicAnchor": "node", "type": "object",
+            "properties": {"next": {"$dynamicRef": "#node"},
+                           "v": {"maximum": 10}}}},
+        "properties": {"tree": {"$dynamicRef": "#node"}},
+    }
+    rows = [({"v": 5, "next": {"v": 3, "next": None}},),
+            ({"v": 5, "next": {"v": 30, "next": None}},),
+            ({"v": 50, "next": None},), (None,)]
+    ddl = "tree struct<v:int,next:struct<v:int,next:struct<v:int>>>"
+    df = spark.createDataFrame(rows, ddl)
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    out = cv.apply(df)
+    got = [r["valid"] for r in out.select("valid").collect()]
+    # nested violation identity survives the dynamic unroll
+    viols = {(r["doc_path"], r["keyword"], r["value"])
+             for r in out.selectExpr("inline(violations)").collect()}
+    assert ("/tree/next/v", "maximum", "30") in viols
+    assert ("/tree/v", "maximum", "50") in viols
+    docs = [json.dumps({"tree": {"v": 5, "next": {"v": 3}}}),
+            json.dumps({"tree": {"v": 5, "next": {"v": 30}}}),
+            json.dumps({"tree": {"v": 50}}), "{}"]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema).collect()]
+    assert got == interp == [True, False, False, True]
+
+
+def test_dynamic_ref_deep_type_falls_back(spark):
+    """Beyond the unroll the planted guard still routes deeper-typed
+    tables to the interp at apply() — same machinery as plain $ref."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"node": {"$dynamicAnchor": "n", "type": "object",
+                           "properties": {"next": {"$dynamicRef": "#n"}}}},
+        "properties": {"tree": {"$dynamicRef": "#n"}},
+    }
+    deep_ddl = "struct<x:int>"
+    for _ in range(5):
+        deep_ddl = f"struct<next:{deep_ddl}>"
+    deep = spark.createDataFrame([(None,)], f"tree {deep_ddl}")
+    cv = ColumnarValidator(schema, ref_unroll=3)
+    with pytest.raises(UnsupportedKeyword):
+        cv.apply(deep)
+
+
+def test_dynamic_ref_unbookended_is_plain_ref(spark):
+    """2020-12 WITHOUT a $dynamicAnchor bookend: plain-$ref semantics
+    against the lexical $anchor (core.py c_dynamic_ref is_dynamic)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"x": {"$anchor": "it", "type": "string",
+                        "minLength": 2}},
+        "properties": {"a": {"$dynamicRef": "#it"}},
+    }
+    rows = [("ab",), ("a",), (None,)]
+    got = _parity(spark, schema, rows, "a string", ("a",))
+    assert got == [True, False, True]
+
+
+def test_dynamic_ref_draft_next_anchor_fallback(spark):
+    """draft-next: no bookend requirement; with no $dynamicAnchor in
+    scope the static fallback is the plain $anchor."""
+    schema = {
+        "$schema": DNEXT,
+        "$defs": {"x": {"$anchor": "it", "type": "string",
+                        "minLength": 2}},
+        "properties": {"a": {"$dynamicRef": "#it"}},
+    }
+    rows = [("ab",), ("a",), (None,)]
+    got = _parity(spark, schema, rows, "a string", ("a",))
+    assert got == [True, False, True]
+
+
+def test_dynamic_ref_pointer_fragment_is_plain(spark):
+    """A pointer-fragment $dynamicRef is a plain reference in every
+    draft (is_dynamic requires a name fragment)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"pos": {"type": "integer", "minimum": 1}},
+        "properties": {"a": {"$dynamicRef": "#/$defs/pos"}},
+    }
+    rows = [(2,), (0,), (None,)]
+    got = _parity(spark, schema, rows, "a int", ("a",))
+    assert got == [True, False, True]
+
+
+def test_dynamic_anchor_shadowed_by_plain_anchor_target(spark):
+    """$dynamicAnchor answers PLAIN $ref lookups too (mirrors
+    _Index.index anchors.setdefault)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"x": {"$dynamicAnchor": "it", "type": "string",
+                        "minLength": 2}},
+        "properties": {"a": {"$ref": "#it"}},
+    }
+    rows = [("ab",), ("a",), (None,)]
+    got = _parity(spark, schema, rows, "a string", ("a",))
+    assert got == [True, False, True]
+
+
+def test_inactive_recursive_ref_stripped(spark):
+    """$recursiveRef under 2020-12 is an unknown keyword the interp
+    ignores entirely — the inliner strips it so the query stays
+    columnar instead of routing to the interp over a no-op."""
+    schema = {
+        "$schema": D2020,
+        "properties": {"a": {"$recursiveRef": "#", "type": "integer",
+                             "minimum": 1}},
+    }
+    rows = [(2,), (0,), (None,)]
+    got = _parity(spark, schema, rows, "a int", ("a",))
+    assert got == [True, False, True]
+
+
+def test_inactive_dynamic_ref_stripped(spark):
+    """$dynamicRef under 2019-09 is inactive (keyword table) and is
+    stripped for the same reason."""
+    schema = {
+        "$schema": D2019,
+        "properties": {"a": {"$dynamicRef": "#nowhere", "type": "integer",
+                             "minimum": 1}},
+    }
+    rows = [(2,), (0,), (None,)]
+    got = _parity(spark, schema, rows, "a int", ("a",))
+    assert got == [True, False, True]
+
+
+def test_duplicate_dynamic_anchor_gives_up():
+    """Two $dynamicAnchor declarations of the same name are ambiguous
+    under static resolution — keep the original schema (interp route)."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "$defs": {"x": {"$dynamicAnchor": "it", "type": "string"},
+                  "y": {"$dynamicAnchor": "it", "type": "integer"}},
+        "properties": {"a": {"$dynamicRef": "#it"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_unresolvable_dynamic_ref_next_gives_up():
+    """draft-next with neither $dynamicAnchor nor $anchor: the interp
+    emits a per-row 'no anchor in dynamic scope' error — that path
+    stays with the interp."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {"$schema": DNEXT,
+              "properties": {"a": {"$dynamicRef": "#missing"}}}
+    assert inline_local_refs(schema, "draft-next") is schema
+
+
+def test_late_scanned_dynamic_anchor_stays_inert():
+    """A $dynamicAnchor inside a subtree reachable only through a
+    pointer into an unknown keyword is NEVER registered by the interp's
+    _Index (core.py _iter_subschemas walks schema positions only) — the
+    inliner must not register it either, so a $dynamicRef to that name
+    stays unresolvable and the schema routes to the interp."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "x-templates": {"t": {"$dynamicAnchor": "it", "type": "string"}},
+        "properties": {"a": {"$ref": "#/x-templates/t"},
+                       "b": {"$dynamicRef": "#it"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_dynamic_ref_meld_with_siblings(spark):
+    """2020-12 melds $dynamicRef with its siblings like $ref: both the
+    resolved target and the sibling constraints must hold."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"pos": {"$dynamicAnchor": "pos", "type": "integer",
+                          "minimum": 1}},
+        "properties": {"a": {"$dynamicRef": "#pos", "maximum": 10}},
+    }
+    rows = [(2,), (0,), (11,), (None,)]
+    got = _parity(spark, schema, rows, "a int", ("a",))
+    assert got == [True, False, False, True]
+
+
+def test_ref_and_dynamic_ref_same_node(spark):
+    """A node carrying BOTH $ref and $dynamicRef contributes two
+    independent branches (core.py _compile_object keyword list)."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"short": {"type": "string", "maxLength": 3},
+                  "low": {"$dynamicAnchor": "low", "minLength": 2}},
+        "properties": {"a": {"$ref": "#/$defs/short",
+                             "$dynamicRef": "#low"}},
+    }
+    rows = [("ab",), ("abcd",), ("a",), (None,)]
+    got = _parity(spark, schema, rows, "a string", ("a",))
+    assert got == [True, False, False, True]

@@ -251,9 +251,13 @@ def test_items_schema_claims_everything(spark):
 @pytest.mark.parametrize("frag", [
     # a cyclic $ref survives inline_local_refs and stays interp-routed
     {"$ref": "#/$defs/cyc", "unevaluatedProperties": False},
-    # dynamic scope cannot be resolved statically
+    # $dynamicRef to an anchor that exists nowhere: plain-$ref fallback
+    # is unresolvable, so the inliner gives up (r6 static scope-chain
+    # simulation resolves the RESOLVABLE cases — test_ref_inline.py)
     {"$dynamicRef": "#meta", "unevaluatedProperties": False},
-    {"$recursiveRef": "#", "unevaluatedProperties": False},
+    # $dynamicRef to another resource can never be fixed statically
+    {"$dynamicRef": "https://ex.example/s#m",
+     "unevaluatedProperties": False},
 ])
 def test_unsupported_claims_route_to_interp(frag):
     with pytest.raises(UnsupportedKeyword):
