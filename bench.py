@@ -122,7 +122,7 @@ def run_bench() -> dict:
         # round-6 additions: batch-IVF planted-recall (KMeans
         # quantizer), baseline-JPEG + WAV-PCM full decodes
         "ann_ivf_embeddings", "multimodal_jpeg_stats",
-        "multimodal_audio_stats",
+        "multimodal_audio_stats", "val_dynamic_ref",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())

@@ -30,7 +30,7 @@ EXPECTED_SHUFFLES = {
 }
 # queries that legitimately cross into Python (Arrow-batched)
 EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
-                   "multimodal_image_headers", "val_recursive_ref",
+                   "multimodal_image_headers",
                    # vectorized matmul LSH hashing (lsh_buckets_arrow)
                    "dedup_embedding_lsh", "lsh_ann_embeddings",
                    # full pixel/sample decode (declared Arrow stages)
