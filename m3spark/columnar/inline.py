@@ -1,13 +1,13 @@
 """Driver-side eager ``$ref``/``$defs`` inlining for the columnar
 compiler (SURVEY §2.8 "eager driver-side inlining with cycle
-detection").
+detection" + "static scope-chain simulation").
 
 The most common schema idiom — a document reusing fragments via
 ``$defs``/``definitions`` and local ``$ref`` — previously routed the
 whole query to the Arrow interpreter because the Column-expression
 compiler cannot follow references at plan-build time.  This pre-pass
-expands acyclic LOCAL references once on the driver, so the compiled
-plan stays pure JVM.
+expands references once on the driver, so the compiled plan stays pure
+JVM.
 
 Draft semantics mirror the reference engine:
 
@@ -22,16 +22,45 @@ Draft semantics mirror the reference engine:
   branch-claim rule (annotation-scope isolation,
   property.cljc:268-293).
 
+**Multi-resource bundles** (r6): nested ``$id`` subtrees are indexed
+as embedded schema resources exactly like the interpreter's registry
+walk (core.py _Index.index) — resources keyed by resolved URI,
+anchors/dynamic anchors keyed by (resource URI, name), per-node base
+URIs.  References across resources resolve like the interpreter's
+``_resolve_ref`` restricted to in-document resources; anything
+pointing OUTSIDE the document keeps the interp route.
+
+**Static scope-chain simulation**: the interpreter's dynamic scope
+(core.py _Rt.scope / Compiled.__call__; the reference's
+``$dynamic-scope-chain``, property.cljc:211-216) is the chain of
+schema resources entered along the evaluation path, pushing a
+resource when it differs from the top of the chain.  Because eager
+expansion follows exactly those paths, the chain at every expansion
+point is KNOWN AT COMPILE TIME — so ``$recursiveRef`` (2019-09,
+outermost ``$recursiveAnchor: true`` resource root wins) and
+``$dynamicRef`` (2020-12 bookended; draft-next unbookended with
+plain-``$anchor`` static fallback) resolve statically per path, even
+for the classic tree/strict-tree bundle where the same ``$dynamicRef``
+resolves differently depending on the entry resource.  Keywords
+inactive in the compile draft (e.g. ``$dynamicRef`` under draft-7)
+are ignored by the interpreter and therefore stripped.
+
 The transform is conservative — it returns the ORIGINAL schema
 untouched (so the compiler's standing ``UnsupportedKeyword`` escape
 hatch routes it to the interpreter) whenever it sees:
 
-- an external / non-fragment reference (``$ref`` not starting ``#``);
-- a ``$dynamicRef`` whose target cannot be fixed statically (see
-  below — in the single-resource world this transform enforces, most
-  CAN be);
-- a nested ``$id``/``id`` that changes the base URI (non-fragment
-  value below the root), which would alter pointer resolution;
+- a reference whose target resource is not embedded in the document;
+- a ``$schema`` below the root that switches to a DIFFERENT draft
+  (the single output tree compiles under one draft);
+- duplicate resource URIs, or an anchor/dynamic-anchor name claimed
+  twice in the same resource and actually referenced (ambiguous);
+- a ``$dynamicRef`` with no anchor in scope (the interpreter emits a
+  per-row error there — that path stays with the interpreter);
+- a base-URI-changing ``$id`` inside a subtree reachable ONLY through
+  a pointer into an unknown keyword (the interpreter's index never
+  walks such subtrees, so the $id is inert there and inner refs
+  resolve against the document root — resolution the transform cannot
+  reproduce, see ``_scan(register=False)``);
 - a NON-PRODUCTIVE reference cycle (a ``$ref`` loop that re-enters
   itself without descending through any data-structural keyword —
   unrolling it would never consume input depth);
@@ -54,42 +83,17 @@ Only the tree positions that hold schemas are rewritten — literal
 values under ``enum`` / ``const`` / ``default`` / ``examples`` are
 copied verbatim, so data that merely *looks* like a ``$ref`` object is
 never touched.
-
-``$recursiveRef`` / ``$dynamicRef`` (SURVEY §2.8 "static scope-chain
-simulation"): because the transform already aborts on external refs
-and nested base-URI changes, every schema it processes is a SINGLE
-schema resource — so the runtime dynamic scope chain
-(core.py c_recursive_ref / c_dynamic_ref, reference
-property.cljc:131-197) can never hold more than that one resource and
-both keywords resolve statically:
-
-- ``$recursiveRef: "#"`` (active only in 2019-09) resolves to the
-  resource root whether or not it carries ``$recursiveAnchor`` —
-  with one resource in scope the dynamic and lexical answers
-  coincide — i.e. exactly ``$ref: "#"``;
-- ``$dynamicRef: "#name"`` (2020-12: bookended — dynamic only when
-  the target resource declares ``$dynamicAnchor: name``, else plain
-  ``$ref`` semantics; draft-next: no bookend, falling back to a plain
-  ``$anchor`` of that name) resolves to the root resource's matching
-  anchor node;
-- pointer-fragment forms (``#/...``) are plain references in every
-  draft;
-- in drafts where the keyword is INACTIVE (e.g. ``$dynamicRef`` under
-  draft-7) the interpreter ignores it entirely, so it is stripped.
-
-Resolved targets then flow through the same meld-as-allOf + unroll
-machinery as plain ``$ref`` (both keywords exist only in meld-era
-drafts).
 """
 
 from __future__ import annotations
 
 import logging
 import os
-from urllib.parse import unquote
 
 from m3spark.schema.core import (DRAFT3, DRAFT4, D2019, D2020, DNEXT,
                                  _ge, draft_of)
+from m3spark.schema.uris import (pointer_get, resolve_uri,
+                                 split_fragment)
 
 __all__ = ["inline_local_refs", "UNROLL_GUARD_KEY"]
 
@@ -148,7 +152,7 @@ class _GiveUp(Exception):
 
 
 def inline_local_refs(schema, draft: str, unroll: int | None = None):
-    """Return ``schema`` with every local ``$ref`` eagerly expanded
+    """Return ``schema`` with every reference eagerly expanded
     (productive cycles unrolled ``unroll`` levels, cut with
     ``UNROLL_GUARD_KEY`` markers), or ``schema`` unchanged if any
     reference cannot be handled safely."""
@@ -184,102 +188,170 @@ class _Inliner:
         self.unroll = max(0, unroll)
         self.meld = _ge(draft, D2019)
         self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
-        self.anchors: dict[str, object] = {}
-        self.dyn_anchors: dict[str, object] = {}
+        # URI registry mirroring the interpreter's _Index (core.py):
+        # resources by resolved URI; anchors/dyn anchors by
+        # (resource URI, name); per-node effective base URI
+        root_base = ""
+        idv = root.get(self.id_key)
+        if isinstance(idv, str) and idv and not idv.startswith("#"):
+            root_base = split_fragment(idv)[0]
+        self.root_uri = root_base
+        self.resources: dict[str, object] = {root_base: root}
+        self.anchors: dict[tuple, object] = {}
+        self.dyn_anchors: dict[tuple, object] = {}
+        self.rec_anchor_roots: set[str] = set()
+        self.node_base: dict[int, str] = {}
+        # anchors registered by hard assignment ($anchor / fragment-$id)
+        # vs dyn setdefault — a hard registration overrides a soft one
+        # (assignment beats setdefault in _Index.index regardless of
+        # walk order), two conflicting registrations of the same kind
+        # make the name ambiguous and any USE of it a GiveUp
+        self._hard: set[tuple] = set()
+        self.ambiguous: set[tuple] = set()
+        self.dyn_ambiguous: set[tuple] = set()
         self.budget = _NODE_BUDGET
         # dict nodes the feasibility scan has covered (by identity);
         # pointer targets outside known schema positions get a late scan
         self._visited: set[int] = set()
-        self._scan(root, top=True)
+        self._scan(root, root_base, top=True)
 
-    # -- pre-scan: feasibility + anchor table ---------------------------
+    # -- pre-scan: feasibility + URI registry ---------------------------
 
-    def _scan(self, node, top=False, register=True):
-        """Abort on unsafe refs / base-URI changes; collect anchors.
+    def _scan(self, node, base: str, top=False, register=True):
+        """Walk schema positions registering $id/$anchor/$dynamicAnchor
+        exactly like the interp's _Index.index; abort on what cannot be
+        reproduced statically.
 
         ``register=False`` for the LATE scan of a pointer target outside
         known schema positions: the interp's _Index never walks such
-        subtrees (core.py _iter_subschemas), so a $dynamicAnchor found
-        there is unregistered/inert in the interp and must stay
-        unregistered here too."""
+        subtrees (core.py _iter_subschemas), so anchors found there are
+        unregistered/inert in the interp and must stay unregistered
+        here too; a base-URI-changing $id there would be inert in the
+        interp (inner refs resolve against the document root) — a
+        resolution this transform does not reproduce, so GiveUp."""
         if isinstance(node, list):
             for x in node:
-                self._scan(x, register=register)
+                self._scan(x, base, register=register)
             return
         if not isinstance(node, dict):
             return
         self._visited.add(id(node))
         r = node.get("$ref")
-        if r is not None and (not isinstance(r, str)
-                              or not r.startswith("#")):
-            raise _GiveUp("external ref")
-        # $recursiveRef / $dynamicRef: statically resolvable here (see
-        # module docstring) when local; non-str values are ignored by
-        # the interpreter (core.py c_recursive_ref / c_dynamic_ref) and
-        # will be stripped, so only external STRING targets abort
-        for k in ("$recursiveRef", "$dynamicRef"):
-            v = node.get(k)
-            if isinstance(v, str) and not v.startswith("#") \
-                    and self._ref_active(k):
-                raise _GiveUp(f"external {k}")
-        da = node.get("$dynamicAnchor")
-        if isinstance(da, str) and self.draft in (D2020, DNEXT) \
-                and register:
-            if da in self.dyn_anchors:
-                if self.dyn_anchors[da] is not node:
-                    raise _GiveUp(f"duplicate dynamic anchor {da!r}")
-            else:
-                self.dyn_anchors[da] = node
-                # mirrors _Index.index: a $dynamicAnchor also answers
-                # plain $ref lookups unless a $anchor claims the name
-                self.anchors.setdefault(da, node)
-        iv = node.get(self.id_key)
-        if isinstance(iv, str) and iv:
-            if iv.startswith("#"):
+        if r is not None and not isinstance(r, str):
+            raise _GiveUp("non-string $ref")
+        if not top:
+            sv = node.get("$schema")
+            if isinstance(sv, str) \
+                    and draft_of({"$schema": sv}, self.draft) != self.draft:
+                raise _GiveUp("mid-schema draft switch")
+        new_base = base
+        idv = node.get(self.id_key)
+        if isinstance(idv, str) and idv:
+            resolved = resolve_uri(base, idv) if base else idv
+            root_part, frag = split_fragment(resolved)
+            if frag:
+                # fragment-carrying id acts as an anchor under the
+                # PARENT base (draft<=7 idiom; _Index.index)
                 if register:
-                    self._add_anchor(iv[1:], node)
-            elif not top:
-                raise _GiveUp("nested base-URI change")
+                    self._reg_anchor(base, frag, node, hard=True)
+                if root_part and root_part != split_fragment(base)[0]:
+                    if not register:
+                        raise _GiveUp("base-URI change in unscanned subtree")
+                    new_base = root_part
+                    self._reg_resource(root_part, node)
+            elif root_part != base or top:
+                if root_part != base:
+                    if not register:
+                        raise _GiveUp("base-URI change in unscanned subtree")
+                    new_base = root_part
+                    self._reg_resource(root_part, node)
+        if register:
+            self.node_base[id(node)] = new_base
         av = node.get("$anchor")
-        if isinstance(av, str) and _ge(self.draft, D2019) and register:
-            self._add_anchor(av, node)
+        if isinstance(av, str) and register:
+            # unconditional across drafts, mirroring _Index.index
+            self._reg_anchor(new_base, av, node, hard=True)
+        da = node.get("$dynamicAnchor")
+        if isinstance(da, str) and register:
+            key = (new_base, da)
+            if key in self.dyn_anchors:
+                if self.dyn_anchors[key] is not node:
+                    self.dyn_ambiguous.add(key)
+            else:
+                self.dyn_anchors[key] = node
+                # a $dynamicAnchor also answers plain-$ref lookups
+                # unless a hard anchor claims the name (setdefault)
+                self._reg_anchor(new_base, da, node, hard=False)
+        if node.get("$recursiveAnchor") is True \
+                and self.resources.get(new_base) is node and register:
+            self.rec_anchor_roots.add(new_base)
         # structural walk mirrors the transform's schema positions
         for k in _SINGLE_SCHEMA_KEYS:
             if k in node:
-                self._scan(node[k], register=register)
+                self._scan(node[k], new_base, register=register)
         for k in _MAP_SCHEMA_KEYS:
             v = node.get(k)
             if isinstance(v, dict):
                 for s in v.values():
-                    self._scan(s, register=register)
+                    self._scan(s, new_base, register=register)
         for k in _LIST_SCHEMA_KEYS:
             v = node.get(k)
             if isinstance(v, list):
                 for s in v:
-                    self._scan(s, register=register)
+                    self._scan(s, new_base, register=register)
         items = node.get("items")
         if isinstance(items, list):
             for s in items:
-                self._scan(s, register=register)
+                self._scan(s, new_base, register=register)
         else:
-            self._scan(items, register=register)
+            self._scan(items, new_base, register=register)
         ext = node.get("extends")
         if isinstance(ext, list):
             for s in ext:
-                self._scan(s, register=register)
+                self._scan(s, new_base, register=register)
         elif ext is not None:
-            self._scan(ext, register=register)
+            self._scan(ext, new_base, register=register)
         deps = node.get("dependencies")
         if isinstance(deps, dict):
             for v in deps.values():
                 if isinstance(v, (dict, bool)):
-                    self._scan(v, register=register)
+                    self._scan(v, new_base, register=register)
         pd = node.get("propertyDependencies")
         if isinstance(pd, dict):
             for m in pd.values():
                 if isinstance(m, dict):
                     for s in m.values():
-                        self._scan(s, register=register)
+                        self._scan(s, new_base, register=register)
+
+    def _reg_resource(self, uri: str, node):
+        cur = self.resources.get(uri)
+        if cur is None:
+            self.resources[uri] = node
+        elif cur is not node:
+            # the interp's setdefault makes this walk-order-dependent;
+            # stay conservative
+            raise _GiveUp(f"duplicate resource URI {uri!r}")
+
+    def _reg_anchor(self, uri: str, name: str, node, hard: bool):
+        key = (uri, name)
+        cur = self.anchors.get(key)
+        if cur is None:
+            self.anchors[key] = node
+            if hard:
+                self._hard.add(key)
+            return
+        if cur is node:
+            if hard:
+                self._hard.add(key)
+            return
+        if hard and key not in self._hard:
+            # hard assignment beats an earlier dyn setdefault
+            self.anchors[key] = node
+            self._hard.add(key)
+            return
+        if not hard and key in self._hard:
+            return  # setdefault after assignment: no-op
+        self.ambiguous.add(key)
 
     def _ref_active(self, keyword: str) -> bool:
         """Is this ref-family keyword active in the compile draft?
@@ -291,91 +363,126 @@ class _Inliner:
             return self.draft in (D2020, DNEXT)
         return True
 
-    def _add_anchor(self, name: str, node):
-        if name in self.anchors:
-            if self.anchors[name] is node:
-                return  # idempotent re-scan of the same subtree
-            raise _GiveUp(f"duplicate anchor {name!r}")
-        self.anchors[name] = node
-
     # -- resolution -----------------------------------------------------
 
-    def _resolve(self, ref: str):
-        """'#...' -> (raw target node, cycle key)."""
-        frag = unquote(ref[1:])
-        if frag == "":
-            return self.root, "#"
+    def _anchor_node(self, key: tuple, table: dict, kind: str):
+        if key in (self.ambiguous if table is self.anchors
+                   else self.dyn_ambiguous):
+            raise _GiveUp(f"ambiguous {kind} {key!r}")
+        node = table.get(key)
+        if node is None:
+            raise _GiveUp(f"unresolvable {kind} {key!r}")
+        return node
+
+    def _resolve(self, ref: str, base: str):
+        """Mirror core.py _resolve_ref restricted to in-document
+        resources: -> (raw target node, cycle key)."""
+        target = resolve_uri(base, ref) \
+            if base or not ref.startswith("#") else ref
+        root_part, frag = split_fragment(target)
+        res = self.resources.get(root_part)
+        if res is None:
+            raise _GiveUp(f"unresolvable resource {root_part!r}")
+        if frag is None or frag == "":
+            return res, f"res:{root_part}"
         if frag.startswith("/"):
-            node = self.root
-            for tok in frag[1:].split("/"):
-                tok = tok.replace("~1", "/").replace("~0", "~")
-                if isinstance(node, dict) and tok in node:
-                    node = node[tok]
-                elif isinstance(node, list) and tok.isdigit() \
-                        and int(tok) < len(node):
-                    node = node[int(tok)]
-                else:
-                    raise _GiveUp(f"unresolvable pointer {ref!r}")
+            try:
+                node = pointer_get(res, frag)
+            except (KeyError, IndexError, ValueError):
+                raise _GiveUp(f"unresolvable pointer {target!r}")
             # a pointer may land in a document position the feasibility
             # pre-scan never walked (under an unknown keyword, inside
             # enum/const data, ...).  Run the same scan late over the
-            # target subtree so the dynamic-ref / nested-$id /
-            # external-ref guards hold there too (r6 advice).
+            # target subtree so the guards hold there too, WITHOUT
+            # registering anchors the interp would never index.
             if isinstance(node, dict) and id(node) not in self._visited:
-                self._scan(node, register=False)
-            return node, f"#{frag}"
-        if frag in self.anchors:
-            return self.anchors[frag], f"#anchor:{frag}"
-        raise _GiveUp(f"unresolvable anchor {ref!r}")
+                self._scan(node, root_part, register=False)
+            return node, f"ptr:{root_part}#{frag}"
+        node = self._anchor_node((root_part, frag), self.anchors, "anchor")
+        return node, f"anchor:{root_part}#{frag}"
 
-    def _resolve_dynamic(self, ref: str):
-        """$dynamicRef target in the single-resource world (mirrors
-        core.py c_dynamic_ref with rt.scope == [root resource])."""
-        frag = unquote(ref[1:])
-        if frag == "" or frag.startswith("/"):
-            # pointer / empty fragment: plain-$ref semantics
-            return self._resolve(ref)
-        dyn = self.dyn_anchors.get(frag)
-        if dyn is not None:
-            # runtime scope walk finds this same node (only resource)
-            return dyn, f"#dyn:{frag}"
-        if self.draft == D2020:
-            # bookend unsatisfied -> plain $ref semantics
-            return self._resolve(ref)
-        # draft-next: static fallback to a plain anchor; with neither,
+    def _resolve_recursive(self, base: str, chain: tuple):
+        """$recursiveRef '#' (core.py c_recursive_ref): outermost
+        $recursiveAnchor:true resource root in the (static) scope
+        chain; lexical resource root otherwise."""
+        static_node = self.resources.get(base, self.root)
+        static_dynamic = base in self.rec_anchor_roots or (
+            isinstance(static_node, dict)
+            and static_node.get("$recursiveAnchor") is True)
+        if static_dynamic:
+            for uri in chain:
+                r = self.resources.get(uri)
+                if isinstance(r, dict) \
+                        and r.get("$recursiveAnchor") is True:
+                    return r, f"rref:{uri}"
+        return static_node, f"rref:{base}"
+
+    def _resolve_dynamic(self, ref: str, base: str, chain: tuple):
+        """$dynamicRef (core.py c_dynamic_ref) with the scope chain
+        known statically: 2020-12 bookended, draft-next unbookended
+        with plain-anchor static fallback."""
+        target = resolve_uri(base, ref) \
+            if base or not ref.startswith("#") else ref
+        root_part, frag = split_fragment(target)
+        bookend_required = self.draft == D2020
+        is_dynamic = frag is not None and not frag.startswith("/") and (
+            (root_part, frag) in self.dyn_anchors or not bookend_required)
+        if not is_dynamic:
+            return self._resolve(ref, base)
+        if (root_part, frag) in self.dyn_ambiguous:
+            raise _GiveUp(f"ambiguous dynamic anchor {frag!r}")
+        for uri in chain:  # outermost-first
+            if (uri, frag) in self.dyn_anchors:
+                node = self._anchor_node((uri, frag), self.dyn_anchors,
+                                         "dynamic anchor")
+                return node, f"dyn:{uri}#{frag}"
+        if (root_part, frag) in self.dyn_anchors:
+            node = self._anchor_node((root_part, frag), self.dyn_anchors,
+                                     "dynamic anchor")
+            return node, f"dyn:{root_part}#{frag}"
+        if (root_part, frag) in self.anchors:
+            node = self._anchor_node((root_part, frag), self.anchors,
+                                     "anchor")
+            return node, f"anchor:{root_part}#{frag}"
         # the interp emits a per-row "no anchor in dynamic scope"
-        # error — leave that path to the interp
-        if frag in self.anchors:
-            return self.anchors[frag], f"#anchor:{frag}"
-        raise _GiveUp(f"unresolvable dynamic anchor {ref!r}")
+        # error here — leave that path to the interp
+        raise _GiveUp(f"no anchor {frag!r} in dynamic scope")
 
     # -- transform ------------------------------------------------------
 
     def run(self):
-        return self._schema(self.root, (), top=True)
+        return self._schema(self.root, (), (self.root_uri,), top=True)
 
     def _spend(self):
         self.budget -= 1
         if self.budget <= 0:
             raise _GiveUp("expansion budget exceeded")
 
-    def _schema(self, node, stack: tuple, top=False):
+    def _schema(self, node, stack: tuple, chain: tuple, top=False):
         """``stack`` holds the cycle keys of in-flight expansions plus a
         ``_DESCENT`` sentinel per data-structural descent; re-entering a
         key with no descent since its last occurrence is a
         non-productive loop (GiveUp), re-entering through descent
-        unrolls up to ``self.unroll`` times, then cuts with a guard."""
+        unrolls up to ``self.unroll`` times, then cuts with a guard.
+        ``chain`` is the static scope chain: resource URIs entered
+        along this expansion path, deduping consecutive repeats —
+        exactly the interp's _Rt.scope at the same point."""
         if isinstance(node, bool) or node is None:
             return node
         if not isinstance(node, dict):
             return node
         self._spend()
+        # nodes outside indexed positions default to the document root
+        # resource, mirroring _compile's node_base.get(..., root_uri)
+        nb = self.node_base.get(id(node), self.root_uri)
+        if nb != chain[-1]:
+            chain = chain + (nb,)
         r = node.get("$ref")
         if isinstance(r, str) and not self.meld:
             # drafts <= 7: $ref replaces every sibling ($recursiveRef /
             # $dynamicRef are inactive there, so nothing else to meld)
-            target, key = self._resolve(r)
-            return self._expand(target, key, r, stack)
+            target, key = self._resolve(r, nb)
+            return self._expand(target, key, r, stack, chain)
         # meld-era: each active ref-family keyword contributes an
         # independent checker alongside its siblings (core.py
         # _compile_object ordered keyword list) — expand each into an
@@ -384,22 +491,25 @@ class _Inliner:
         had_ref = False
         if isinstance(r, str):
             had_ref = True
-            branches.append(self._expand(*self._resolve(r), r, stack))
+            branches.append(
+                self._expand(*self._resolve(r, nb), r, stack, chain))
         rr = node.get("$recursiveRef")
         if isinstance(rr, str) and self._ref_active("$recursiveRef"):
-            # "#" resolves to the resource root whether or not it has
-            # $recursiveAnchor (single resource in scope — docstring);
-            # non-"#" values fall back to plain-$ref semantics
-            # (core.py c_recursive_ref)
             had_ref = True
-            branches.append(self._expand(*self._resolve(rr), rr, stack))
+            if rr == "#":
+                target, key = self._resolve_recursive(nb, chain)
+            else:
+                # non-'#' values fall back to plain-$ref semantics
+                # (core.py c_recursive_ref)
+                target, key = self._resolve(rr, nb)
+            branches.append(self._expand(target, key, rr, stack, chain))
         dr = node.get("$dynamicRef")
         if isinstance(dr, str) and self._ref_active("$dynamicRef"):
             had_ref = True
-            branches.append(
-                self._expand(*self._resolve_dynamic(dr), dr, stack))
+            branches.append(self._expand(
+                *self._resolve_dynamic(dr, nb, chain), dr, stack, chain))
         if not had_ref:
-            return self._plain(node, stack, top)
+            return self._plain(node, stack, chain, top)
         siblings = {k: v for k, v in node.items() if k not in _REF_KEYS}
         branches = [b for b in branches if b is not True and b != {}]
         if not siblings:
@@ -408,12 +518,13 @@ class _Inliner:
             if len(branches) == 1:
                 return branches[0]
             return {"allOf": branches}
-        out = self._plain(siblings, stack, top)
+        out = self._plain(siblings, stack, chain, top)
         if branches:
             out["allOf"] = list(out.get("allOf", [])) + branches
         return out
 
-    def _expand(self, target, key: str, refstr: str, stack: tuple):
+    def _expand(self, target, key: str, refstr: str, stack: tuple,
+                chain: tuple):
         """Cycle-aware expansion of one resolved ref target."""
         tail_start = 0
         for i in range(len(stack) - 1, -1, -1):
@@ -428,9 +539,9 @@ class _Inliner:
                 "types raise UnsupportedKeyword at apply()",
                 refstr, self.unroll)
             return {UNROLL_GUARD_KEY: refstr}
-        return self._schema(target, stack + (key,))
+        return self._schema(target, stack + (key,), chain)
 
-    def _plain(self, node: dict, stack: tuple, top=False):
+    def _plain(self, node: dict, stack: tuple, chain: tuple, top=False):
         out = {}
         for k, v in node.items():
             if k in _STRIP_KEYS:
@@ -443,46 +554,45 @@ class _Inliner:
                 # doesn't route the query to the interp over a no-op
                 continue
             if k == self.id_key and isinstance(v, str) and not top:
-                # fragment form: inert anchor.  Non-fragment form can
-                # only be the ROOT's $id dragged in by inlining the
-                # root itself ($recursiveRef '#' / $ref '#'; _scan
-                # aborts on nested $id in the INPUT) — with every ref
-                # expanded, resource identity no longer matters
+                # inert after inlining: fragment form was an anchor,
+                # non-fragment forms only mattered to reference
+                # resolution, which no longer exists in the output
                 continue
             if k == "$schema" and not top and isinstance(v, str) \
                     and draft_of({"$schema": v}, self.draft) == self.draft:
-                # the root's own $schema re-inlined at a nested
-                # position: same draft, a no-op for the interp
+                # a same-draft $schema at a nested position (e.g. the
+                # root's own, re-inlined): a no-op for the interp
                 # (core.py _compile draft_of) — strip so the compiler
-                # keeps the plan columnar.  A GENUINE mid-schema draft
-                # switch is kept (and routes to the interp).
+                # keeps the plan columnar.  A draft SWITCH never gets
+                # here (_scan gives up on it).
                 continue
             # keywords applying to a CHILD value consume input depth:
             # mark the descent so a $ref loop through them counts as
             # productive (unrollable) rather than a flat cycle
             st = stack + (_DESCENT,) if k in _DATA_DESCENT_KEYS else stack
             if k in _SINGLE_SCHEMA_KEYS:
-                out[k] = self._schema(v, st)
+                out[k] = self._schema(v, st, chain)
             elif k in _MAP_SCHEMA_KEYS:
-                out[k] = ({n: self._schema(s, st) for n, s in v.items()}
+                out[k] = ({n: self._schema(s, st, chain)
+                           for n, s in v.items()}
                           if isinstance(v, dict) else v)
             elif k in _LIST_SCHEMA_KEYS:
-                out[k] = ([self._schema(s, st) for s in v]
+                out[k] = ([self._schema(s, st, chain) for s in v]
                           if isinstance(v, list) else v)
             elif k == "items":
-                out[k] = ([self._schema(s, st) for s in v]
+                out[k] = ([self._schema(s, st, chain) for s in v]
                           if isinstance(v, list)
-                          else self._schema(v, st))
+                          else self._schema(v, st, chain))
             elif k == "extends":
-                out[k] = ([self._schema(s, st) for s in v]
+                out[k] = ([self._schema(s, st, chain) for s in v]
                           if isinstance(v, list)
-                          else self._schema(v, st))
+                          else self._schema(v, st, chain))
             elif k == "dependencies" and isinstance(v, dict):
-                out[k] = {n: (self._schema(s, st)
+                out[k] = {n: (self._schema(s, st, chain)
                               if isinstance(s, (dict, bool)) else s)
                           for n, s in v.items()}
             elif k == "propertyDependencies" and isinstance(v, dict):
-                out[k] = {p: ({sv: self._schema(s, st)
+                out[k] = {p: ({sv: self._schema(s, st, chain)
                                for sv, s in m.items()}
                               if isinstance(m, dict) else m)
                           for p, m in v.items()}

@@ -630,3 +630,202 @@ def test_ref_and_dynamic_ref_same_node(spark):
     rows = [("ab",), ("abcd",), ("a",), (None,)]
     got = _parity(spark, schema, rows, "a string", ("a",))
     assert got == [True, False, False, True]
+
+
+# -- r6: multi-resource bundles (nested $id) with static scope-chain
+# -- simulation — the tree/strict-tree idiom resolves per path ----------
+
+def test_bundle_cross_resource_ref(spark):
+    """A bundled resource referenced by absolute URI; its inner refs
+    resolve against ITS base, not the document root."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {
+            "addr": {"$id": "https://ex.test/addr",
+                     "type": "object",
+                     "properties": {"zip": {"$ref": "#/$defs/zip"}},
+                     "$defs": {"zip": {"type": "string",
+                                       "minLength": 3}}},
+        },
+        "properties": {"a": {"$ref": "https://ex.test/addr"}},
+    }
+    ddl = "a struct<zip:string>"
+    rows = [({"zip": "123"},), ({"zip": "1"},), (None,)]
+    got = _parity(spark, schema, rows, ddl, ("a",))
+    assert got == [True, False, True]
+
+
+def test_bundle_relative_id_resolution(spark):
+    """Nested $id resolved RFC-3986-relative against the root $id."""
+    schema = {
+        "$schema": D2020,
+        "$id": "https://ex.test/root.json",
+        "$defs": {
+            "item": {"$id": "sub/item.json", "type": "integer",
+                     "minimum": 1},
+        },
+        "properties": {"a": {"$ref": "sub/item.json"},
+                       "b": {"$ref": "https://ex.test/sub/item.json"}},
+    }
+    rows = [(2, 2), (0, 2), (2, 0), (None, None)]
+    got = _parity(spark, schema, rows, "a int, b int", ("a", "b"))
+    assert got == [True, False, False, True]
+
+
+def test_bundle_same_anchor_name_per_resource(spark):
+    """The same anchor name in two resources: (resource URI, name)
+    keying disambiguates, mirroring the interp's _Index."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {
+            "r1": {"$id": "https://ex.test/r1",
+                   "$defs": {"x": {"$anchor": "it", "type": "string",
+                                   "minLength": 2}}},
+            "r2": {"$id": "https://ex.test/r2",
+                   "$defs": {"x": {"$anchor": "it", "type": "integer",
+                                   "minimum": 5}}},
+        },
+        "properties": {"s": {"$ref": "https://ex.test/r1#it"},
+                       "n": {"$ref": "https://ex.test/r2#it"}},
+    }
+    rows = [("ab", 7), ("a", 7), ("ab", 1), (None, None)]
+    got = _parity(spark, schema, rows, "s string, n int", ("s", "n"))
+    assert got == [True, False, False, True]
+
+
+def test_bundle_pointer_into_resource(spark):
+    """A pointer fragment on a cross-resource ref applies from THAT
+    resource's root."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {
+            "lib": {"$id": "https://ex.test/lib",
+                    "$defs": {"name": {"type": "string",
+                                       "maxLength": 3}}},
+        },
+        "properties": {"a": {"$ref": "https://ex.test/lib#/$defs/name"}},
+    }
+    rows = [("abc",), ("abcd",), (None,)]
+    got = _parity(spark, schema, rows, "a string", ("a",))
+    assert got == [True, False, True]
+
+
+def _tree_bundle(draft_uri, anchor_kw, ref_kw):
+    """tree / strict-tree: the SAME dynamic ref resolves differently
+    depending on which resource the evaluation entered through."""
+    if anchor_kw == "$dynamicAnchor":
+        strict_extra = {"$dynamicAnchor": "node"}
+        tree_extra = {"$dynamicAnchor": "node"}
+        leaf_ref = {"$dynamicRef": "#node"}
+    else:
+        strict_extra = {"$recursiveAnchor": True}
+        tree_extra = {"$recursiveAnchor": True}
+        leaf_ref = {"$recursiveRef": "#"}
+    return {
+        "$schema": draft_uri,
+        "$defs": {
+            "strict": {"$id": "https://ex.test/strict-tree",
+                       "$ref": "https://ex.test/tree",
+                       "unevaluatedProperties": False, **strict_extra},
+            "tree": {"$id": "https://ex.test/tree",
+                     "type": "object",
+                     "properties": {
+                         "data": {"type": "integer"},
+                         "children": {"type": "array",
+                                      "items": leaf_ref}},
+                     **tree_extra},
+        },
+        "properties": {"t": {"$ref": "https://ex.test/strict-tree"},
+                       "u": {"$ref": "https://ex.test/tree"}},
+    }
+
+
+@pytest.mark.parametrize("draft_uri,anchor_kw", [
+    (D2020, "$dynamicAnchor"),   # bookended $dynamicRef
+    (D2019, "$recursiveAnchor"),  # $recursiveRef '#'
+])
+def test_tree_strict_tree_path_dependent(spark, draft_uri, anchor_kw):
+    """THE dynamic-scope case (official-suite dynamicRef idiom; SURVEY
+    §2.8 scope-chain simulation): entering through strict-tree, the
+    child's dynamic ref re-binds to strict-tree (extra properties
+    invalid); entering the SAME tree resource directly, it binds to
+    tree (extra properties fine).  The static simulation reproduces
+    both because the chain is known per expansion path."""
+    schema = _tree_bundle(draft_uri, anchor_kw, None)
+    ddl = ("t struct<data:int,children:array<struct<data:int,extra:int>>>,"
+           "u struct<data:int,children:array<struct<data:int,extra:int>>>")
+    df = spark.createDataFrame(
+        [({"data": 1, "children": [{"data": 2}]},
+          {"data": 1, "children": [{"data": 2}]}),
+         ({"data": 1, "children": [{"data": 2, "extra": 3}]}, None),
+         (None, {"data": 1, "children": [{"data": 2, "extra": 3}]}),
+         (None, None)], ddl)
+    cv = ColumnarValidator(schema)
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    # row 2: extra under strict entry -> unevaluated -> invalid
+    # row 3: extra under tree entry -> tolerated
+    assert got == [True, False, True, True]
+    docs = [
+        json.dumps({"t": {"data": 1, "children": [{"data": 2}]},
+                    "u": {"data": 1, "children": [{"data": 2}]}}),
+        json.dumps({"t": {"data": 1,
+                          "children": [{"data": 2, "extra": 3}]}}),
+        json.dumps({"u": {"data": 1,
+                          "children": [{"data": 2, "extra": 3}]}}),
+        "{}"]
+    interp = [r["valid"] for r in validate_json(
+        spark.createDataFrame([(x,) for x in docs], "doc string"),
+        schema).collect()]
+    assert interp == got
+
+
+def test_bundle_duplicate_resource_uri_gives_up():
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "$defs": {"a": {"$id": "https://ex.test/dup", "type": "string"},
+                  "b": {"$id": "https://ex.test/dup", "type": "integer"}},
+        "properties": {"x": {"$ref": "https://ex.test/dup"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_mid_schema_draft_switch_gives_up():
+    """A nested resource declaring a DIFFERENT draft cannot be inlined
+    into a single-draft output tree."""
+    from m3spark.columnar.inline import inline_local_refs
+
+    schema = {
+        "$schema": D2020,
+        "$defs": {"old": {"$id": "https://ex.test/old", "$schema": D7,
+                          "type": "integer"}},
+        "properties": {"x": {"$ref": "https://ex.test/old"}},
+    }
+    assert inline_local_refs(schema, "draft2020-12") is schema
+
+
+def test_bundle_recursion_across_resources_unrolls(spark):
+    """Mutual recursion THROUGH two resources (a's items ref b, b's
+    items ref a) is productive and unrolls with per-resource cycle
+    keys."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {
+            "a": {"$id": "https://ex.test/a", "type": "object",
+                  "properties": {"b": {"$ref": "https://ex.test/b"},
+                                 "va": {"minimum": 0}}},
+            "b": {"$id": "https://ex.test/b", "type": "object",
+                  "properties": {"a": {"$ref": "https://ex.test/a"},
+                                 "vb": {"maximum": 10}}},
+        },
+        "properties": {"root": {"$ref": "https://ex.test/a"}},
+    }
+    ddl = "root struct<va:int,b:struct<vb:int,a:struct<va:int>>>"
+    rows = [({"va": 1, "b": {"vb": 2, "a": {"va": 3}}},),
+            ({"va": -1, "b": {"vb": 2, "a": {"va": 3}}},),
+            ({"va": 1, "b": {"vb": 20, "a": {"va": 3}}},),
+            ({"va": 1, "b": {"vb": 2, "a": {"va": -3}}},), (None,)]
+    got = _parity(spark, schema, rows, ddl, ("root",))
+    assert got == [True, False, False, False, True]
