@@ -271,7 +271,8 @@ class ColumnarValidator:
                  strict: bool = True,
                  meta_validate: bool = True,
                  ref_unroll: int | None = None,
-                 inline_refs: bool = True):
+                 inline_refs: bool = True,
+                 registry: dict | None = None):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         if format_assertion is None:
@@ -283,7 +284,9 @@ class ColumnarValidator:
         # validate-m2 parity with the interpreter (core.py): an invalid
         # schema compiles to a plan that flags EVERY row with the
         # meta-error instead of silently lenient checks
-        self.meta_errors = (meta_validate_schema(schema, self.draft)
+        self.registry = dict(registry or {})
+        self.meta_errors = (meta_validate_schema(schema, self.draft,
+                                                 self.registry)
                             if meta_validate else [])
         if self.meta_errors:
             msg = self.meta_errors[0].message
@@ -305,7 +308,8 @@ class ColumnarValidator:
         # behind must stay an unsupported keyword, never re-resolve
         # against the fragment-as-root.
         self._compile_root(inline_local_refs(schema, self.draft,
-                                             unroll=ref_unroll)
+                                             unroll=ref_unroll,
+                                             registry=self.registry)
                            if inline_refs else schema)
         if strict and self.unsupported:
             raise UnsupportedKeyword(

@@ -151,11 +151,15 @@ class _GiveUp(Exception):
     """Transform cannot be done safely; caller keeps the original."""
 
 
-def inline_local_refs(schema, draft: str, unroll: int | None = None):
+def inline_local_refs(schema, draft: str, unroll: int | None = None,
+                      registry: dict | None = None):
     """Return ``schema`` with every reference eagerly expanded
     (productive cycles unrolled ``unroll`` levels, cut with
     ``UNROLL_GUARD_KEY`` markers), or ``schema`` unchanged if any
-    reference cannot be handled safely."""
+    reference cannot be handled safely.  ``registry`` maps absolute
+    URIs to pre-registered external schemas (the interp's lazy
+    registry, core.py _resolve_ref) — statically known, so their
+    resources inline exactly like embedded bundles."""
     if not isinstance(schema, dict):
         return schema
     try:
@@ -163,7 +167,7 @@ def inline_local_refs(schema, draft: str, unroll: int | None = None):
             return schema
         return _Inliner(schema, draft,
                         _default_unroll() if unroll is None
-                        else unroll).run()
+                        else unroll, registry).run()
     except _GiveUp:
         return schema
 
@@ -182,9 +186,11 @@ def _contains_ref(node) -> bool:
 
 
 class _Inliner:
-    def __init__(self, root: dict, draft: str, unroll: int = 8):
+    def __init__(self, root: dict, draft: str, unroll: int = 8,
+                 registry: dict | None = None):
         self.root = root
         self.draft = draft
+        self.registry = registry or {}
         self.unroll = max(0, unroll)
         self.meld = _ge(draft, D2019)
         self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
@@ -382,6 +388,8 @@ class _Inliner:
         root_part, frag = split_fragment(target)
         res = self.resources.get(root_part)
         if res is None:
+            res = self._register_external(root_part)
+        if res is None:
             raise _GiveUp(f"unresolvable resource {root_part!r}")
         if frag is None or frag == "":
             return res, f"res:{root_part}"
@@ -400,6 +408,28 @@ class _Inliner:
             return node, f"ptr:{root_part}#{frag}"
         node = self._anchor_node((root_part, frag), self.anchors, "anchor")
         return node, f"anchor:{root_part}#{frag}"
+
+    def _register_external(self, uri: str):
+        """Lazily admit a registry schema as a resource, mirroring the
+        interp's on-demand ``self.registry`` branch in _resolve_ref
+        (resources[root_part] = reg_schema, then index under that
+        URI).  Returns None when the registry has no entry."""
+        reg = self.registry.get(uri)
+        if reg is None:
+            return None
+        if isinstance(reg, bool):
+            self.resources[uri] = reg
+            return reg
+        if not isinstance(reg, dict):
+            raise _GiveUp(f"malformed registry entry {uri!r}")
+        # the interp compiles the external under draft_of(reg, draft);
+        # a different draft cannot share the single output tree
+        if draft_of(reg, self.draft) != self.draft:
+            raise _GiveUp(f"registry schema {uri!r} declares a "
+                          f"different draft")
+        self.resources[uri] = reg
+        self._scan(reg, uri)
+        return reg
 
     def _resolve_recursive(self, base: str, chain: tuple):
         """$recursiveRef '#' (core.py c_recursive_ref): outermost

@@ -41,16 +41,21 @@ VIOLATIONS_TYPE = ArrayType(VIOLATION_SCHEMA)
 
 
 @lru_cache(maxsize=64)
-def _compiled(schema_json: str, draft: str | None, format_assertion: bool | None):
+def _compiled(schema_json: str, draft: str | None,
+              format_assertion: bool | None,
+              registry_json: str | None = None):
     # executed once per executor worker process per schema
     from m3spark.schema import compile_schema  # noqa: PLC0415
 
     return compile_schema(json.loads(schema_json), draft=draft,
-                          format_assertion=format_assertion)
+                          format_assertion=format_assertion,
+                          registry=(json.loads(registry_json)
+                                    if registry_json else None))
 
 
-def _validate_series(s: pd.Series, schema_json: str, draft, fmt_assert):
-    cs = _compiled(schema_json, draft, fmt_assert)
+def _validate_series(s: pd.Series, schema_json: str, draft, fmt_assert,
+                     registry_json: str | None = None):
+    cs = _compiled(schema_json, draft, fmt_assert, registry_json)
     out_valid = []
     out_viol = []
     for doc in s:
@@ -82,7 +87,8 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
                   draft: str | None = None,
                   format_assertion: bool | None = None,
                   out_valid: str = "valid",
-                  out_violations: str = "violations") -> DataFrame:
+                  out_violations: str = "violations",
+                  registry: dict | None = None) -> DataFrame:
     """Append ``valid:boolean`` and ``violations:array<struct>`` columns
     computed by the vectorized schema interpreter.
 
@@ -91,6 +97,8 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
     all input columns without a join.
     """
     schema_json = json.dumps(schema, sort_keys=True)
+    registry_json = (json.dumps(registry, sort_keys=True)
+                     if registry else None)
     in_schema = df.schema
     out_schema = StructType(list(in_schema.fields) + [
         StructField(out_valid, BooleanType()),
@@ -100,7 +108,8 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             valid, viol = _validate_series(
-                pdf[doc_col], schema_json, draft, format_assertion)
+                pdf[doc_col], schema_json, draft, format_assertion,
+                registry_json)
             pdf = pdf.copy()
             pdf[out_valid] = pd.Series(valid, index=pdf.index, dtype="object")
             pdf[out_violations] = pd.Series(viol, index=pdf.index, dtype="object")
@@ -113,7 +122,8 @@ def validate_table(df: DataFrame, schema: dict | bool,
                    draft: str | None = None,
                    format_assertion: bool | None = None,
                    out_valid: str = "valid",
-                   out_violations: str = "violations") -> DataFrame:
+                   out_violations: str = "violations",
+                   registry: dict | None = None) -> DataFrame:
     """One-call engine selection over a TYPED table: compile columnar
     (pure-JVM Column predicates) when the schema lowers, otherwise fall
     back to the Arrow interpreter by rendering each row as a JSON
@@ -132,7 +142,8 @@ def validate_table(df: DataFrame, schema: dict | bool,
 
     try:
         cv = ColumnarValidator(schema, draft=draft,
-                               format_assertion=format_assertion)
+                               format_assertion=format_assertion,
+                               registry=registry)
         return cv.apply(df, out_valid=out_valid,
                         out_violations=out_violations)
     except UnsupportedKeyword:
@@ -142,7 +153,8 @@ def validate_table(df: DataFrame, schema: dict | bool,
                         doc_col="_m3_doc", draft=draft,
                         format_assertion=format_assertion,
                         out_valid=out_valid,
-                        out_violations=out_violations)
+                        out_violations=out_violations,
+                        registry=registry)
     return out.drop("_m3_doc")
 
 

@@ -829,3 +829,111 @@ def test_bundle_recursion_across_resources_unrolls(spark):
             ({"va": 1, "b": {"vb": 2, "a": {"va": -3}}},), (None,)]
     got = _parity(spark, schema, rows, ddl, ("root",))
     assert got == [True, False, False, False, True]
+
+
+# -- r6: registry-resolved external schemas inline statically ----------
+
+REG = {
+    "https://reg.test/person": {
+        "$id": "https://reg.test/person",
+        "type": "object",
+        "properties": {"name": {"$ref": "#/$defs/nm"},
+                       "age": {"type": "integer", "minimum": 0}},
+        "$defs": {"nm": {"type": "string", "minLength": 2}},
+    },
+    "https://reg.test/anything": True,
+}
+
+
+def test_registry_external_ref_lowers(spark):
+    """A $ref to a registry entry inlines like an embedded resource —
+    including the external schema's own internal refs, which resolve
+    against ITS base (mirrors core.py _resolve_ref's lazy registry
+    branch)."""
+    schema = {
+        "$schema": D2020,
+        "properties": {"p": {"$ref": "https://reg.test/person"},
+                       "x": {"$ref": "https://reg.test/anything"}},
+    }
+    ddl = "p struct<name:string,age:int>, x int"
+    rows = [({"name": "ab", "age": 3}, 1),
+            ({"name": "a", "age": 3}, 1),
+            ({"name": "ab", "age": -1}, 1), (None, None)]
+    got = _parity(spark, schema, rows, ddl, ("p", "x"), registry=REG)
+    assert got == [True, False, False, True]
+
+
+def test_registry_validate_table_roundtrip(spark):
+    """validate_table threads the registry through BOTH engines: the
+    columnar route when the schema lowers, the interp fallback when it
+    does not (here: a registry entry declaring another draft)."""
+    from m3spark.sparkval import validate_table
+
+    df = spark.createDataFrame([({"name": "ab", "age": 3},),
+                                ({"name": "a", "age": 3},)],
+                               "p struct<name:string,age:int>")
+    schema = {"$schema": D2020,
+              "properties": {"p": {"$ref": "https://reg.test/person"}}}
+    got = [r["valid"] for r in
+           validate_table(df, schema, registry=REG).collect()]
+    assert got == [True, False]
+    # foreign-draft registry entry: inliner gives up, interp fallback
+    # still resolves it through the SAME registry
+    reg7 = {"https://reg.test/old": {"$schema": D7, "type": "object",
+                                     "properties": {"name": {
+                                         "minLength": 2}}}}
+    schema7 = {"$schema": D2020,
+               "properties": {"p": {"$ref": "https://reg.test/old"}}}
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema7, registry=reg7)
+    got = [r["valid"] for r in
+           validate_table(df, schema7, registry=reg7).collect()]
+    assert got == [True, False]
+
+
+def test_registry_dynamic_scope_across_external(spark):
+    """strict-tree bundled LOCALLY, tree in the REGISTRY: the dynamic
+    scope chain crosses the registry boundary exactly like an embedded
+    bundle."""
+    registry = {
+        "https://reg.test/tree": {
+            "$id": "https://reg.test/tree", "$dynamicAnchor": "node",
+            "type": "object",
+            "properties": {"data": {"type": "integer"},
+                           "children": {"type": "array",
+                                        "items": {"$dynamicRef": "#node"}}},
+        },
+    }
+    schema = {
+        "$schema": D2020,
+        "$defs": {"strict": {"$id": "https://ex.test/strict-tree",
+                             "$dynamicAnchor": "node",
+                             "$ref": "https://reg.test/tree",
+                             "unevaluatedProperties": False}},
+        "properties": {"t": {"$ref": "https://ex.test/strict-tree"},
+                       "u": {"$ref": "https://reg.test/tree"}},
+    }
+    ddl = ("t struct<data:int,children:array<struct<data:int,extra:int>>>,"
+           "u struct<data:int,children:array<struct<data:int,extra:int>>>")
+    rows = [({"data": 1, "children": [{"data": 2}]}, None),
+            ({"data": 1, "children": [{"data": 2, "extra": 3}]}, None),
+            (None, {"data": 1, "children": [{"data": 2, "extra": 3}]}),
+            (None, None)]
+    got = _parity(spark, schema, rows, ddl, ("t", "u"),
+                  registry=registry)
+    assert got == [True, False, True, True]
+
+
+def test_registry_unreferenced_entry_ignored(spark):
+    """Registry entries nothing references are never pulled in (lazy,
+    like the interp) — even malformed ones."""
+    schema = {
+        "$schema": D2020,
+        "$defs": {"pos": {"type": "integer", "minimum": 1}},
+        "properties": {"a": {"$ref": "#/$defs/pos"}},
+    }
+    registry = {"https://reg.test/broken": "not a schema"}
+    rows = [(2,), (0,)]
+    got = _parity(spark, schema, rows, "a int", ("a",),
+                  registry=registry)
+    assert got == [True, False]
