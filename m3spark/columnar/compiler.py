@@ -35,8 +35,8 @@ from pyspark.sql import types as T
 
 from m3spark.columnar.inline import UNROLL_GUARD_KEY, inline_local_refs
 from m3spark.schema.core import (
-    DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, D2020, _ge, draft_of,
-    meta_validate_schema,
+    DNEXT, DRAFT3, DRAFT4, DRAFT6, DRAFT7, D2019, D2020,
+    _SCHEMA_URI_TO_DRAFT, _ge, draft_of, meta_validate_schema,
 )
 from m3spark.schema.formats import (
     FORMATS, IPV6_PATTERN, SPARK_RLIKE, URI_BAD_PCT_PATTERN,
@@ -285,6 +285,20 @@ class ColumnarValidator:
         # schema compiles to a plan that flags EVERY row with the
         # meta-error instead of silently lenient checks
         self.registry = dict(registry or {})
+        # custom-dialect guard: a registry meta-schema carrying
+        # $vocabulary restricts the ACTIVE keyword set (core.py
+        # _meta_vocabulary / vocabulary.dialect_keywords) — the interp
+        # honors it, this compiler does not filter keywords, so route
+        # such schemas to the interp rather than over-enforce
+        if isinstance(schema, dict):
+            s_uri = schema.get("$schema")
+            if isinstance(s_uri, str)                     and s_uri.rstrip("#") not in _SCHEMA_URI_TO_DRAFT:
+                meta = (self.registry.get(s_uri)
+                        or self.registry.get(s_uri.rstrip("#")))
+                if isinstance(meta, dict)                         and isinstance(meta.get("$vocabulary"), dict):
+                    raise UnsupportedKeyword(
+                        "custom $vocabulary dialect restricts active "
+                        "keywords; use m3spark.sparkval.validate_json")
         self.meta_errors = (meta_validate_schema(schema, self.draft,
                                                  self.registry)
                             if meta_validate else [])

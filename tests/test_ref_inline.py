@@ -937,3 +937,28 @@ def test_registry_unreferenced_entry_ignored(spark):
     got = _parity(spark, schema, rows, "a int", ("a",),
                   registry=registry)
     assert got == [True, False]
+
+
+def test_custom_vocabulary_dialect_routes_to_interp(spark):
+    """A registry meta-schema with $vocabulary restricts the ACTIVE
+    keyword set; the interp honors it (core.py _meta_vocabulary +
+    dialect_keywords), the columnar compiler does not filter keywords —
+    so such schemas must take the interp route, where `minimum` under a
+    core-only dialect is ignored."""
+    from m3spark.sparkval import validate_table
+
+    meta = {"$id": "https://dialect.test/meta",
+            "$vocabulary": {
+                "https://json-schema.org/draft/2020-12/vocab/core": True},
+            }
+    reg = {"https://dialect.test/meta": meta}
+    schema = {"$schema": "https://dialect.test/meta",
+              "properties": {"a": {"minimum": 5}}}
+    with pytest.raises(UnsupportedKeyword):
+        ColumnarValidator(schema, registry=reg)
+    df = spark.createDataFrame([(1,), (9,)], "a int")
+    got = [r["valid"] for r in
+           validate_table(df, schema, draft="draft2020-12",
+                          registry=reg).collect()]
+    # validation vocabulary inactive: minimum never fires
+    assert got == [True, True]

@@ -20,9 +20,10 @@ from corpus3 import CASES3
 from corpus4 import CASES4
 from corpus5 import CASES5
 from corpus6 import CASES6
+from corpus7 import CASES7
 from corpus_remote import CASES_REMOTE, remote_uri_dirs
 
-ALL_CASES = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6
+ALL_CASES = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6 + CASES7
 
 M3_TESTS_DIR = "/root/reference/test-resources/m3-tests"
 

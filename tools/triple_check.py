@@ -269,7 +269,8 @@ def main(argv=None):
     from corpus4 import CASES4
     from corpus5 import CASES5
     from corpus6 import CASES6
-    all_cases = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6
+    from corpus7 import CASES7
+    all_cases = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6 + CASES7
     if args.limit:
         all_cases = all_cases[:args.limit]
 
