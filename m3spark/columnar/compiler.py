@@ -272,7 +272,8 @@ class ColumnarValidator:
                  meta_validate: bool = True,
                  ref_unroll: int | None = None,
                  inline_refs: bool = True,
-                 registry: dict | None = None):
+                 registry: dict | None = None,
+                 uri_dirs: dict | None = None):
         self.schema = schema
         self.draft = draft or draft_of(schema)
         if format_assertion is None:
@@ -285,6 +286,7 @@ class ColumnarValidator:
         # schema compiles to a plan that flags EVERY row with the
         # meta-error instead of silently lenient checks
         self.registry = dict(registry or {})
+        self.uri_dirs = dict(uri_dirs or {})
         # custom-dialect guard: a registry meta-schema carrying
         # $vocabulary restricts the ACTIVE keyword set (core.py
         # _meta_vocabulary / vocabulary.dialect_keywords) — the interp
@@ -323,7 +325,8 @@ class ColumnarValidator:
         # against the fragment-as-root.
         self._compile_root(inline_local_refs(schema, self.draft,
                                              unroll=ref_unroll,
-                                             registry=self.registry)
+                                             registry=self.registry,
+                                             uri_dirs=self.uri_dirs)
                            if inline_refs else schema)
         if strict and self.unsupported:
             raise UnsupportedKeyword(

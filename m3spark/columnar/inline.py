@@ -152,7 +152,8 @@ class _GiveUp(Exception):
 
 
 def inline_local_refs(schema, draft: str, unroll: int | None = None,
-                      registry: dict | None = None):
+                      registry: dict | None = None,
+                      uri_dirs: dict | None = None):
     """Return ``schema`` with every reference eagerly expanded
     (productive cycles unrolled ``unroll`` levels, cut with
     ``UNROLL_GUARD_KEY`` markers), or ``schema`` unchanged if any
@@ -167,7 +168,7 @@ def inline_local_refs(schema, draft: str, unroll: int | None = None,
             return schema
         return _Inliner(schema, draft,
                         _default_unroll() if unroll is None
-                        else unroll, registry).run()
+                        else unroll, registry, uri_dirs).run()
     except _GiveUp:
         return schema
 
@@ -187,10 +188,12 @@ def _contains_ref(node) -> bool:
 
 class _Inliner:
     def __init__(self, root: dict, draft: str, unroll: int = 8,
-                 registry: dict | None = None):
+                 registry: dict | None = None,
+                 uri_dirs: dict | None = None):
         self.root = root
         self.draft = draft
         self.registry = registry or {}
+        self.uri_dirs = uri_dirs or {}
         self.unroll = max(0, unroll)
         self.meld = _ge(draft, D2019)
         self.id_key = "id" if draft in (DRAFT3, DRAFT4) else "$id"
@@ -410,11 +413,23 @@ class _Inliner:
         return node, f"anchor:{root_part}#{frag}"
 
     def _register_external(self, uri: str):
-        """Lazily admit a registry schema as a resource, mirroring the
-        interp's on-demand ``self.registry`` branch in _resolve_ref
-        (resources[root_part] = reg_schema, then index under that
-        URI).  Returns None when the registry has no entry."""
+        """Lazily admit an external schema as a resource, mirroring the
+        interp's on-demand cascade in _resolve_ref: user registry ->
+        uri_dirs file loading -> vendored draft meta-schemas.  Returns
+        None when no source knows the URI."""
         reg = self.registry.get(uri)
+        if reg is None and self.uri_dirs:
+            reg = self._load_from_dirs(uri)
+        if reg is None:
+            from m3spark.schema.core import _SCHEMA_URI_TO_DRAFT
+            if uri.rstrip("#") in _SCHEMA_URI_TO_DRAFT:
+                from m3spark.schema.metaschemas import META_BY_DRAFT
+                reg = META_BY_DRAFT.get(
+                    _SCHEMA_URI_TO_DRAFT[uri.rstrip("#")])
+                if reg is None:
+                    # interp: unknown draft name -> True schema
+                    self.resources[uri] = True
+                    return True
         if reg is None:
             return None
         if isinstance(reg, bool):
@@ -430,6 +445,25 @@ class _Inliner:
         self.resources[uri] = reg
         self._scan(reg, uri)
         return reg
+
+    def _load_from_dirs(self, uri: str):
+        """Mirror core.py _load_from_dirs: uri prefix -> directory map,
+        '.json' appended when missing; None when unmapped/unreadable."""
+        import json as _json
+        import os.path as _p
+        for prefix, directory in self.uri_dirs.items():
+            b = prefix.rstrip("/")
+            if uri == b or uri.startswith(b + "/"):
+                rel = uri[len(b):].lstrip("/")
+                path = _p.join(directory, rel) if rel else directory
+                if not path.endswith(".json"):
+                    path += ".json"
+                try:
+                    with open(path, encoding="utf-8") as f:
+                        return _json.load(f)
+                except (OSError, ValueError):
+                    return None
+        return None
 
     def _resolve_recursive(self, base: str, chain: tuple):
         """$recursiveRef '#' (core.py c_recursive_ref): outermost

@@ -43,19 +43,24 @@ VIOLATIONS_TYPE = ArrayType(VIOLATION_SCHEMA)
 @lru_cache(maxsize=64)
 def _compiled(schema_json: str, draft: str | None,
               format_assertion: bool | None,
-              registry_json: str | None = None):
+              registry_json: str | None = None,
+              uri_dirs_json: str | None = None):
     # executed once per executor worker process per schema
     from m3spark.schema import compile_schema  # noqa: PLC0415
 
     return compile_schema(json.loads(schema_json), draft=draft,
                           format_assertion=format_assertion,
                           registry=(json.loads(registry_json)
-                                    if registry_json else None))
+                                    if registry_json else None),
+                          uri_dirs=(json.loads(uri_dirs_json)
+                                    if uri_dirs_json else None))
 
 
 def _validate_series(s: pd.Series, schema_json: str, draft, fmt_assert,
-                     registry_json: str | None = None):
-    cs = _compiled(schema_json, draft, fmt_assert, registry_json)
+                     registry_json: str | None = None,
+                     uri_dirs_json: str | None = None):
+    cs = _compiled(schema_json, draft, fmt_assert, registry_json,
+                   uri_dirs_json)
     out_valid = []
     out_viol = []
     for doc in s:
@@ -88,7 +93,8 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
                   format_assertion: bool | None = None,
                   out_valid: str = "valid",
                   out_violations: str = "violations",
-                  registry: dict | None = None) -> DataFrame:
+                  registry: dict | None = None,
+                  uri_dirs: dict | None = None) -> DataFrame:
     """Append ``valid:boolean`` and ``violations:array<struct>`` columns
     computed by the vectorized schema interpreter.
 
@@ -99,6 +105,10 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
     schema_json = json.dumps(schema, sort_keys=True)
     registry_json = (json.dumps(registry, sort_keys=True)
                      if registry else None)
+    # uri_dirs paths must be readable from executor workers (shared
+    # storage on a real cluster), same constraint as the interp's
+    uri_dirs_json = (json.dumps(uri_dirs, sort_keys=True)
+                     if uri_dirs else None)
     in_schema = df.schema
     out_schema = StructType(list(in_schema.fields) + [
         StructField(out_valid, BooleanType()),
@@ -109,7 +119,7 @@ def validate_json(df: DataFrame, schema: dict | bool, doc_col: str = "doc",
         for pdf in batches:
             valid, viol = _validate_series(
                 pdf[doc_col], schema_json, draft, format_assertion,
-                registry_json)
+                registry_json, uri_dirs_json)
             pdf = pdf.copy()
             pdf[out_valid] = pd.Series(valid, index=pdf.index, dtype="object")
             pdf[out_violations] = pd.Series(viol, index=pdf.index, dtype="object")
@@ -123,7 +133,8 @@ def validate_table(df: DataFrame, schema: dict | bool,
                    format_assertion: bool | None = None,
                    out_valid: str = "valid",
                    out_violations: str = "violations",
-                   registry: dict | None = None) -> DataFrame:
+                   registry: dict | None = None,
+                   uri_dirs: dict | None = None) -> DataFrame:
     """One-call engine selection over a TYPED table: compile columnar
     (pure-JVM Column predicates) when the schema lowers, otherwise fall
     back to the Arrow interpreter by rendering each row as a JSON
@@ -143,7 +154,7 @@ def validate_table(df: DataFrame, schema: dict | bool,
     try:
         cv = ColumnarValidator(schema, draft=draft,
                                format_assertion=format_assertion,
-                               registry=registry)
+                               registry=registry, uri_dirs=uri_dirs)
         return cv.apply(df, out_valid=out_valid,
                         out_violations=out_violations)
     except UnsupportedKeyword:
@@ -154,7 +165,7 @@ def validate_table(df: DataFrame, schema: dict | bool,
                         format_assertion=format_assertion,
                         out_valid=out_valid,
                         out_violations=out_violations,
-                        registry=registry)
+                        registry=registry, uri_dirs=uri_dirs)
     return out.drop("_m3_doc")
 
 

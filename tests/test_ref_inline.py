@@ -962,3 +962,45 @@ def test_custom_vocabulary_dialect_routes_to_interp(spark):
                           registry=reg).collect()]
     # validation vocabulary inactive: minimum never fires
     assert got == [True, True]
+
+
+def test_uri_dirs_remote_ref_lowers(spark):
+    """File-served remote refs (the interp's uri_dirs loader) inline
+    columnar through the same external cascade — statically known at
+    compile time, loaded once on the driver."""
+    from corpus_remote import remote_uri_dirs
+
+    schema = {
+        "$schema": D2020,
+        "properties": {"n": {"$ref": "https://remote.test/int.json"}},
+    }
+    df = spark.createDataFrame([(3,), (None,)], "n int")
+    cv = ColumnarValidator(schema, uri_dirs=remote_uri_dirs())
+    assert all(getattr(c.build, "_jvm", True) for c in cv.checks)
+    got = [r["valid"] for r in cv.apply(df).select("valid").collect()]
+    # int.json: {"type": "integer"} family — 3 valid
+    assert got[0] is True
+
+
+def test_ref_to_vendored_meta_schema_resolves(spark):
+    """$ref to a standard draft meta-schema URI resolves to the
+    vendored copy (core.py _resolve_ref's meta branch), so validating
+    a table of SCHEMA DOCUMENTS works on both engines."""
+    from m3spark.sparkval import validate_table
+
+    schema = {
+        "$schema": D2020,
+        "properties": {"s": {
+            "$ref": "https://json-schema.org/draft/2020-12/schema"}},
+    }
+    # schema documents as typed structs: one valid, one with a bad type
+    df = spark.createDataFrame(
+        [({"type": "integer"},), ({"type": "nonsense"},)],
+        "s struct<type:string>")
+    got = [r["valid"] for r in validate_table(df, schema).collect()]
+    ref = [r["valid"] for r in validate_json(
+        spark.createDataFrame(
+            [('{"s": {"type": "integer"}}',),
+             ('{"s": {"type": "nonsense"}}',)], "doc string"),
+        schema).collect()]
+    assert got == ref == [True, False]
