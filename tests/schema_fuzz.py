@@ -214,8 +214,31 @@ def _deep_schema(rng, depth: int, defs: dict) -> dict:
     if choice < 0.8:
         return {"not": _deep_schema(rng, depth - 1, defs)}
     if choice < 0.9 and defs is not None:
+        # reserve the slot BEFORE recursing: inner calls allocate fresh
+        # indexes, so a later assignment can never overwrite a def an
+        # inner subtree already references (that overwrite dropped
+        # resource $ids and broke their absolute refs)
         name = f"d{len(defs)}"
-        defs[name] = _deep_schema(rng, depth - 1, defs)
+        defs[name] = {}
+        node = _deep_schema(rng, depth - 1, defs)
+        if rng.random() < 0.35:
+            # embedded RESOURCE (r6 bundle machinery): a $defs subtree
+            # with its own absolute $id, optionally dynamic-anchored,
+            # referenced by absolute URI or bookended $dynamicRef.
+            # Only subtrees WITHOUT local pointer refs: "#/$defs/..."
+            # inside a resource resolves against the resource base,
+            # where the document root's $defs do not exist.
+            import json as _json
+            if isinstance(node, dict) and '"#/' not in _json.dumps(node):
+                uri = f"https://fuzz.test/{name}"
+                node = {"$id": uri, **node}
+                if rng.random() < 0.4:
+                    node["$dynamicAnchor"] = f"da{name}"
+                defs[name] = node
+                if "$dynamicAnchor" in node and rng.random() < 0.5:
+                    return {"$dynamicRef": f"{uri}#da{name}"}
+                return {"$ref": uri}
+        defs[name] = node
         return {"$ref": f"#/$defs/{name}"}
     sub, _ = _scalar_property(rng, DRAFTS[-1])
     return sub

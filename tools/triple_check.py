@@ -270,7 +270,15 @@ def main(argv=None):
     from corpus5 import CASES5
     from corpus6 import CASES6
     from corpus7 import CASES7
-    all_cases = CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6 + CASES7
+    from corpus_remote import CASES_REMOTE, remote_uri_dirs
+    all_cases = [(c, {}) for c in
+                 CASES + CASES2 + CASES3 + CASES4 + CASES5 + CASES6
+                 + CASES7]
+    # remote families: both engines resolve the same tests/remotes
+    # files through the uri_dirs loader (r6: the inliner's external
+    # cascade makes these columnar-eligible too)
+    all_cases += [(c, {"uri_dirs": remote_uri_dirs()})
+                  for c in CASES_REMOTE]
     if args.limit:
         all_cases = all_cases[:args.limit]
 
@@ -295,9 +303,10 @@ def main(argv=None):
     }
     disagreements = []
 
-    for draft, desc, schema, tests in all_cases:
+    for (draft, desc, schema, tests), opts in all_cases:
         stats["groups"] += 1
-        interp = compile_schema(schema, draft=draft, format_assertion=True)
+        interp = compile_schema(schema, draft=draft, format_assertion=True,
+                                **opts)
 
         # columnar: group eligible instances by representable kind
         groups: dict[str, list[tuple[int, object]]] = {}
@@ -326,7 +335,8 @@ def main(argv=None):
         col_ok = True
         try:
             cv = ColumnarValidator({"properties": {"v": schema}},
-                                   draft=draft, format_assertion=True)
+                                   draft=draft, format_assertion=True,
+                                   **opts)
         except UnsupportedKeyword:
             col_ok = False
         except Exception as exc:  # noqa: BLE001
