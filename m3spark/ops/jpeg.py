@@ -1,13 +1,17 @@
 """Dependency-free baseline JPEG full-pixel decode (ITU T.81).
 
-Scope (declared): baseline + extended-sequential HUFFMAN processes
-(SOF0/SOF1), 8-bit samples, grayscale or 3-component YCbCr with any
-h/v subsampling factors <= 2 (4:4:4, 4:2:2, 4:2:0, 4:4:0), restart
-markers, multi-table DQT/DHT, 16-bit quantizer entries.  Progressive
-(SOF2), arithmetic coding (SOF9+), 12-bit precision, 4-component
-(CMYK) streams, and frames over 64M pixels (an allocation bound
-against crafted headers) return None — the callers' declared-
-unsupported path, same stance as the PNG decoder's sub-byte depths.
+Scope (declared): baseline + extended-sequential + PROGRESSIVE
+HUFFMAN processes (SOF0/SOF1/SOF2), 8-bit samples, grayscale or
+3-component YCbCr with any h/v subsampling factors <= 2 (4:4:4,
+4:2:2, 4:2:0, 4:4:0), restart markers, multi-table DQT/DHT, 16-bit
+quantizer entries.  Progressive streams (T.81 Annex G) accumulate
+DCT coefficients across scans — DC first/refine (successive
+approximation), AC first/refine per spectral band with EOB-run
+coding — and reconstruct once at EOI.  Arithmetic coding (SOF9+),
+12-bit precision, 4-component (CMYK) streams, and frames over 64M
+pixels (an allocation bound against crafted headers) return None —
+the callers' declared-unsupported path, same stance as the PNG
+decoder's sub-byte depths.
 Single-component scans decode NON-interleaved (one data unit per MCU,
 T.81 A.2) regardless of the declared sampling factors.
 
@@ -26,7 +30,8 @@ specs (ITU T.81, JFIF 1.02).
 from __future__ import annotations
 
 _SOF_BASELINE = {0xC0, 0xC1}          # huffman sequential
-_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+_SOF_PROGRESSIVE = {0xC2}             # huffman progressive
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7,
                     0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 # zigzag order: _ZIGZAG[k] = raster index of the k-th zigzagged coeff
@@ -150,6 +155,8 @@ def _jpeg_pixels(raw: bytes):
     huff_dc = {}
     huff_ac = {}
     frame = None
+    progressive = False
+    coefs = None     # progressive: per-comp (bh, bw, 64) zigzag coeffs
     restart_interval = 0
     i = 2
     n = len(raw)
@@ -160,6 +167,9 @@ def _jpeg_pixels(raw: bytes):
             i += 1
         marker = raw[i + 1]
         if marker == 0xD9:
+            if progressive and coefs is not None:
+                return _prog_reconstruct(frame, coefs, qt, np,
+                                         _idct_matrix())
             return None  # EOI before SOS
         if marker in _SOF_UNSUPPORTED:
             return None
@@ -192,7 +202,8 @@ def _jpeg_pixels(raw: bytes):
                 (huff_ac if cls else huff_dc)[tid] = _Huff(counts,
                                                            values)
                 j += 17 + nv
-        elif marker in _SOF_BASELINE:
+        elif marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
+            progressive = marker in _SOF_PROGRESSIVE
             if len(seg) < 6 or seg[0] != 8:
                 return None  # 12-bit precision unsupported
             h = (seg[1] << 8) | seg[2]
@@ -219,12 +230,33 @@ def _jpeg_pixels(raw: bytes):
                 return None
             ns = seg[0]
             w, h, comps = frame
-            if ns != len(comps) or len(seg) < 1 + 2 * ns:
+            if len(seg) < 1 + 2 * ns:
                 return None
             sel = {}
+            scan_ids = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c:3 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 0xF)
+                scan_ids.append(cs)
+            if progressive:
+                if len(seg) < 4 + 2 * ns:
+                    return None
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                if coefs is None:
+                    coefs = _prog_alloc(frame, np)
+                    if coefs is None:
+                        return None
+                end = _prog_scan(raw, i + 2 + seg_len, frame, coefs,
+                                 scan_ids, sel, huff_dc, huff_ac,
+                                 ss, se, ah, al, restart_interval, np)
+                if end is None:
+                    return None
+                i = end
+                continue
+            if ns != len(comps):
+                return None
             return _decode_scan(raw, i + 2 + seg_len, w, h, comps,
                                 sel, qt, huff_dc, huff_ac,
                                 restart_interval, np,
@@ -234,6 +266,10 @@ def _jpeg_pixels(raw: bytes):
             i += 2
             continue
         i += 2 + seg_len
+    if progressive and coefs is not None:
+        # stream ended (EOI may sit in the final <4 bytes the loop
+        # guard does not enter): reconstruct what the scans built
+        return _prog_reconstruct(frame, coefs, qt, np, _idct_matrix())
     return None
 
 
@@ -283,6 +319,11 @@ def _decode_scan(raw, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
             mcu_count += 1
+    return _finish(planes, comps, w, h, hmax, vmax, np)
+
+
+def _finish(planes, comps, w, h, hmax, vmax, np):
+    """Level shift, clamp, replicate-upsample, crop, JFIF color."""
     out = []
     for ci, c in enumerate(comps):
         p = np.clip(np.round(planes[ci]) + 128, 0, 255)
@@ -298,6 +339,223 @@ def _decode_scan(raw, pos, w, h, comps, sel, qt, huff_dc, huff_ac,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return w, h, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _prog_alloc(frame, np):
+    """Per-component (block-rows, block-cols, 64) int32 zigzag-order
+    coefficient arrays, padded to whole MCUs for interleaved scans."""
+    w, h, comps = frame
+    if not w or not h or w * h > (1 << 26):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            for c in comps]
+
+
+def _prog_scan(raw, pos, frame, coefs, scan_ids, sel, huff_dc, huff_ac,
+               ss, se, ah, al, restart_interval, np):
+    """One progressive scan (T.81 Annex G): update the coefficient
+    arrays in place, return the stream index of the next marker (the
+    0xFF byte), or None on malformed data.
+
+    DC scans (Ss=0) may be interleaved over any component subset; AC
+    scans cover one component's own (unpadded) block grid.  Successive
+    approximation: first scans (Ah=0) code values at precision Al,
+    refinement scans (Ah=Al+1) append one magnitude bit — two's-
+    complement identities make the DC `|=` and the AC ±(1<<Al)
+    corrections exact for negative coefficients."""
+    w, h, comps = frame
+    if ss > se or se > 63 or al > 13 or (ss == 0) != (se == 0):
+        return None
+    byid = {c["id"]: ci for ci, c in enumerate(comps)}
+    idxs = []
+    for cid in scan_ids:
+        ci = byid.get(cid)
+        if ci is None:
+            return None
+        idxs.append(ci)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(raw, pos)
+    state = {"eobrun": 0}
+    pred = dict.fromkeys(idxs, 0)
+
+    def dc_first(ci, by, bx):
+        tbl = huff_dc.get(sel[comps[ci]["id"]][0])
+        if tbl is None:
+            return False
+        t = br.huff(tbl)
+        if t is None or t > 15:
+            return False
+        pred[ci] += _extend(br.read(t), t)
+        coefs[ci][by, bx, 0] = pred[ci] << al
+        return True
+
+    def dc_refine(ci, by, bx):
+        if br.read(1):
+            coefs[ci][by, bx, 0] |= 1 << al
+        return True
+
+    def ac_first(ci, by, bx):
+        tbl = huff_ac.get(sel[comps[ci]["id"]][1])
+        if tbl is None:
+            return False
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        blk = coefs[ci][by, bx]
+        k = ss
+        while k <= se:
+            rs = br.huff(tbl)
+            if rs is None:
+                return False
+            r, sz = rs >> 4, rs & 0xF
+            if sz == 0:
+                if r == 15:  # ZRL: 16 zeros
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + br.read(r)
+                break
+            k += r
+            if k > se:
+                return False
+            blk[k] = _extend(br.read(sz), sz) << al
+            k += 1
+        return True
+
+    def ac_refine(ci, by, bx):
+        tbl = huff_ac.get(sel[comps[ci]["id"]][1])
+        if tbl is None:
+            return False
+        p1 = 1 << al
+        m1 = -1 << al
+        blk = coefs[ci][by, bx]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.huff(tbl)
+                if rs is None:
+                    return False
+                r, sz = rs >> 4, rs & 0xF
+                newval = 0
+                if sz == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + br.read(r)
+                        break
+                    # ZRL: pass 16 zero-HISTORY positions
+                else:
+                    if sz != 1:
+                        return False
+                    newval = p1 if br.read(1) else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.read(1) and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+        return True
+
+    if ss == 0:
+        fn = dc_first if ah == 0 else dc_refine
+    else:
+        if len(idxs) != 1:
+            return None  # AC scans are single-component (G.1.1.1.1)
+        fn = ac_first if ah == 0 else ac_refine
+
+    count = 0
+
+    def unit_done():
+        nonlocal count
+        count += 1
+        if restart_interval and count % restart_interval == 0:
+            br.restart()
+            state["eobrun"] = 0
+            for k_ in pred:
+                pred[k_] = 0
+
+    ok = True
+    if len(idxs) == 1:
+        ci = idxs[0]
+        c = comps[ci]
+        # non-interleaved: the component's own (unpadded) block grid
+        bw = (-(-(w * c["h"]) // hmax) + 7) // 8
+        bh = (-(-(h * c["v"]) // vmax) + 7) // 8
+        for by in range(bh):
+            for bx in range(bw):
+                if not fn(ci, by, bx):
+                    ok = False
+                    break
+                unit_done()
+            if not ok:
+                break
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in idxs:
+                    c = comps[ci]
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            if not fn(ci, my * c["v"] + byy,
+                                      mx * c["h"] + bxx):
+                                ok = False
+                                break
+                        if not ok:
+                            break
+                    if not ok:
+                        break
+                if not ok:
+                    break
+                unit_done()
+            if not ok:
+                break
+    if not ok:
+        return None
+    j = br.i
+    while j + 1 < len(raw) and raw[j] != 0xFF:
+        j += 1
+    return j
+
+
+def _prog_reconstruct(frame, coefs, qt, np, A):
+    """Dequantize + de-zigzag + IDCT every accumulated block, then the
+    shared level-shift/upsample/color tail."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zig = np.array(_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        q = np.array(qt[c["tq"]], dtype=np.float64).reshape(8, 8)
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = np.zeros(64, dtype=np.float64)
+                blk[zig] = coefs[ci][by, bx]
+                spatial = A.T @ (blk.reshape(8, 8) * q) @ A
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = spatial
+        planes.append(plane)
+    return _finish(planes, comps, w, h, hmax, vmax, np)
 
 
 def _decode_block(br, hdc, hac, pred, ci, np):

@@ -291,8 +291,8 @@ _NULL_PIXELS = {f.name: None for f in PIXEL_SCHEMA.fields}
 
 def _image_pixels(raw: bytes):
     """Magic-dispatched full pixel decode: PNG (this module) or
-    baseline JPEG (ops/jpeg.py).  Returns (w, h, ch, ndarray) or
-    None."""
+    sequential/progressive JPEG (ops/jpeg.py).  Returns
+    (w, h, ch, ndarray) or None."""
     if not raw:
         return None
     if raw[:8] == _PNG_SIG:
@@ -304,8 +304,8 @@ def _image_pixels(raw: bytes):
 
 
 def image_pixel_stats(raw: bytes) -> dict:
-    """Per-image pixel statistics from the full decode (PNG or baseline
-    JPEG).  Means are one exact-integer-sum / exact-integer-count IEEE
+    """Per-image pixel statistics from the full decode (PNG or
+    sequential/progressive JPEG).  Means are one exact-integer-sum / exact-integer-count IEEE
     division, so a SQL oracle computing the same two integers predicts
     them bit-for-bit."""
     dec = _image_pixels(raw) if raw else None

@@ -419,3 +419,328 @@ def test_decode_image_pixels_op_jpeg(spark):
     for i in range(4):
         assert out[i]["px_mean"] == float(160 + i)
         assert out[i]["channels"] == 1
+
+
+# --- progressive encoder (T.81 Annex G scan scripts) -------------------
+
+# AC table for progressive scans: adds the EOBn symbols (r<<4, r>=1)
+_AC_VALS_PROG = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16)
+                    for s in range(1, 11)])
+_AC_COUNTS_PROG = [0] * 16
+_AC_COUNTS_PROG[7] = len(_AC_VALS_PROG)  # 176 codes, all length 8
+
+
+def _flatzz(blk):
+    return [int(blk[_ZZ[k] // 8, _ZZ[k] % 8]) for k in range(64)]
+
+
+def _ac_level(v, al):
+    """T.81 G.1.2.2 point transform for AC: signed magnitude shift."""
+    return (abs(v) >> al) * (1 if v > 0 else -1)
+
+
+def _emit_ac_first_block(w, flat, ss, se, al, ac_lut, pend):
+    """One block of an AC first scan; `pend` carries the cross-block
+    EOB run counter.  Returns nothing; flushes the pending run before
+    this block's symbols when the block is non-empty."""
+    band = [(k, _ac_level(flat[k], al)) for k in range(ss, se + 1)]
+    if all(v == 0 for _, v in band):
+        pend[0] += 1
+        return
+    _flush_eobrun(w, ac_lut, pend)
+    run = 0
+    last_nz = max(i for i, (_, v) in enumerate(band) if v != 0)
+    for i, (_, v) in enumerate(band):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_lut[0xF0]
+            w.bits(c, ln)
+            run -= 16
+        s = _cat(v)
+        c, ln = ac_lut[(run << 4) | s]
+        w.bits(c, ln)
+        w.bits(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(band) - 1:
+        pend[0] += 1  # this block's EOB starts a fresh run
+
+
+def _flush_eobrun(w, ac_lut, pend):
+    run = pend[0]
+    pend[0] = 0
+    while run > 0:
+        r = min(14, run.bit_length() - 1)
+        chunk = min(run, (1 << (r + 1)) - 1)
+        c, ln = ac_lut[r << 4]
+        w.bits(c, ln)
+        if r:
+            w.bits(chunk - (1 << r), r)
+        run -= chunk
+
+
+def _emit_ac_refine_block(w, flat, ss, se, a, ac_lut):
+    """One block of an AC refinement scan (Ah=a+1, Al=a): mirrors the
+    decoder's walk — symbol, sign/ext bits, then the correction bits
+    of nonzero-history positions passed by that symbol's window."""
+    seq = []
+    for k in range(ss, se + 1):
+        v = flat[k]
+        hist = abs(v) >> (a + 1)
+        lvl = abs(v) >> a
+        if hist:
+            seq.append(("h", lvl & 1))
+        elif lvl:
+            seq.append(("n", 1 if v > 0 else 0))
+        else:
+            seq.append(("z", 0))
+    i, n = 0, len(seq)
+    while i < n:
+        j, zc, nxt = i, 0, None
+        while j < n:
+            t = seq[j][0]
+            if t == "n":
+                nxt = j
+                break
+            if t == "z":
+                zc += 1
+            j += 1
+        if nxt is None:
+            rest_h = [b for t, b in seq[i:] if t == "h"]
+            if zc > 0 or rest_h:
+                c, ln = ac_lut[0x00]   # EOB0: run of exactly 1
+                w.bits(c, ln)
+                for b in rest_h:
+                    w.bits(b, 1)
+            return
+        while zc > 15:
+            c, ln = ac_lut[0xF0]
+            w.bits(c, ln)
+            passed = 0
+            while passed < 16:
+                t, b = seq[i]
+                if t == "h":
+                    w.bits(b, 1)
+                else:
+                    passed += 1
+                i += 1
+            zc -= 16
+        c, ln = ac_lut[(zc << 4) | 1]
+        w.bits(c, ln)
+        w.bits(seq[nxt][1], 1)
+        while i < nxt:
+            t, b = seq[i]
+            if t == "h":
+                w.bits(b, 1)
+            i += 1
+        i = nxt + 1
+
+
+def _comp_grids(coeff_blocks, w, h, comps):
+    """MCU-ordered block lists -> per-comp dict (by,bx) -> block, plus
+    (padded grid, unpadded grid) dims per comp."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for ci, c in enumerate(comps):
+        g = {}
+        k = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        g[(my * c["v"] + by, mx * c["h"] + bx)] = \
+                            coeff_blocks[ci][k]
+                        k += 1
+        bw = (-(-(w * c["h"]) // hmax) + 7) // 8
+        bh = (-(-(h * c["v"]) // vmax) + 7) // 8
+        grids.append((g, bw, bh))
+    return grids, mcux, mcuy
+
+
+def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
+                          al_dc=1, al_ac=1, bands=((1, 5), (6, 63))):
+    """Build a progressive JPEG (SOF2) from the same quantized
+    coefficient blocks make_jpeg consumes: DC first at Al=al_dc +
+    successive DC refinements to 0; per-component spectral-selection
+    AC first scans at Al=al_ac + successive AC refinements to 0."""
+    dc_lut = _codes(_DC_COUNTS, _DC_VALS)
+    ac_lut = _codes(_AC_COUNTS_PROG, _AC_VALS_PROG)
+    out = bytearray(b"\xff\xd8")
+    for tid, q in enumerate(qtabs):
+        zz = bytes(int(q[_ZZ[k] // 8, _ZZ[k] % 8]) for k in range(64))
+        out += _seg(0xDB, bytes([tid]) + zz)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS)
+                + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS_PROG)
+                + bytes(_AC_VALS_PROG))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xC2, sof)
+    grids, mcux, mcuy = _comp_grids(coeff_blocks, w, h, comps)
+
+    def sos_hdr(ids, ss, se, ah, al):
+        seg = bytes([len(ids)])
+        for cid in ids:
+            seg += bytes([cid, 0x00])  # Td=0, Ta=0 (single table pair)
+        return _seg(0xDA, seg + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved over all components, Al=al_dc
+    out += sos_hdr([c["id"] for c in comps], 0, 0, 0, al_dc)
+    wtr = _W()
+    pred = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = grids[ci][0][(my * c["v"] + by,
+                                            mx * c["h"] + bx)]
+                        lvl = int(blk[0, 0]) >> al_dc
+                        diff = lvl - pred[ci]
+                        pred[ci] = lvl
+                        t = _cat(diff)
+                        cde, ln = dc_lut[t]
+                        wtr.bits(cde, ln)
+                        if t:
+                            wtr.bits(diff if diff > 0
+                                     else diff + (1 << t) - 1, t)
+    wtr.flush()
+    out += wtr.out
+    # DC refinement scans down to Al=0
+    for a in range(al_dc - 1, -1, -1):
+        out += sos_hdr([c["id"] for c in comps], 0, 0, a + 1, a)
+        wtr = _W()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = grids[ci][0][(my * c["v"] + by,
+                                                mx * c["h"] + bx)]
+                            wtr.bits((int(blk[0, 0]) >> a) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+    # AC scans: per component, per spectral band
+    for ci, c in enumerate(comps):
+        g, bw, bh = grids[ci]
+        for (ss, se) in bands:
+            out += sos_hdr([c["id"]], ss, se, 0, al_ac)
+            wtr = _W()
+            pend = [0]
+            for by in range(bh):
+                for bx in range(bw):
+                    _emit_ac_first_block(wtr, _flatzz(g[(by, bx)]),
+                                         ss, se, al_ac, ac_lut, pend)
+            _flush_eobrun(wtr, ac_lut, pend)
+            wtr.flush()
+            out += wtr.out
+            for a in range(al_ac - 1, -1, -1):
+                out += sos_hdr([c["id"]], ss, se, a + 1, a)
+                wtr = _W()
+                for by in range(bh):
+                    for bx in range(bw):
+                        _emit_ac_refine_block(wtr, _flatzz(g[(by, bx)]),
+                                              ss, se, a, ac_lut)
+                wtr.flush()
+                out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("w,h,al_dc,al_ac,bands", [
+    (16, 16, 1, 1, ((1, 5), (6, 63))),
+    (16, 16, 0, 0, ((1, 63),)),
+    (24, 17, 2, 1, ((1, 10), (11, 63))),
+    (13, 11, 1, 2, ((1, 63),)),
+])
+def test_progressive_gray_vs_direct_formula(w, h, al_dc, al_ac, bands):
+    """Progressive scan scripts (DC successive approximation + AC
+    spectral selection with refinement) must reconstruct EXACTLY the
+    pixels of the direct-formula pipeline on the same coefficients —
+    the scan structure is pure re-ordering."""
+    rng = np.random.default_rng(w * 1000 + h + al_dc * 7 + al_ac)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    q = np.ones((8, 8)) * 4
+    q[0, 0] = 8
+    blocks = [_rand_blocks(rng, _n_blocks(w, h, comps)[0])]
+    raw = make_progressive_jpeg(blocks, [q], w, h, comps,
+                                al_dc=al_dc, al_ac=al_ac, bands=bands)
+    got = _jpeg_pixels(raw)
+    assert got is not None and got[:3] == (w, h, 1)
+    np.testing.assert_array_equal(
+        got[3], _reference_decode(blocks, [q], w, h, comps))
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 2), (2, 1), (1, 2)])
+def test_progressive_color_vs_direct_formula(sub):
+    w, h = 32, 16
+    rng = np.random.default_rng(sum(sub) * 13)
+    sh, sv = sub
+    comps = [{"id": 1, "h": sh, "v": sv, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 1},
+             {"id": 3, "h": 1, "v": 1, "tq": 1}]
+    qy = np.ones((8, 8)) * 3
+    qc = np.ones((8, 8)) * 5
+    nb = _n_blocks(w, h, comps)
+    blocks = [_rand_blocks(rng, nb[ci]) for ci in range(3)]
+    raw = make_progressive_jpeg(blocks, [qy, qc], w, h, comps)
+    got = _jpeg_pixels(raw)
+    assert got is not None and got[:3] == (w, h, 3)
+    np.testing.assert_array_equal(
+        got[3], _reference_decode(blocks, [qy, qc, qc], w, h, comps))
+
+
+def test_progressive_color_odd_dims_padding():
+    """Odd dimensions with 4:2:0 luma: the padded MCU grid exceeds the
+    unpadded block grid; AC scans cover only the unpadded grid, and
+    the padding blocks' pixels are cropped before comparison, so the
+    decode still matches the reference on the visible region."""
+    w, h = 19, 14
+    rng = np.random.default_rng(4242)
+    comps = [{"id": 1, "h": 2, "v": 2, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 1},
+             {"id": 3, "h": 1, "v": 1, "tq": 1}]
+    qy = np.ones((8, 8)) * 3
+    qc = np.ones((8, 8)) * 5
+    nb = _n_blocks(w, h, comps)
+    blocks = [_rand_blocks(rng, nb[ci]) for ci in range(3)]
+    # zero the AC of luma padding blocks (outside the unpadded grid):
+    # the progressive AC scans never code them, so the reference must
+    # agree on what the decoder reconstructs there (DC only)
+    grids, mcux, mcuy = _comp_grids(blocks, w, h, comps)
+    g, bw, bh = grids[0]
+    for (by, bx), blk in g.items():
+        if by >= bh or bx >= bw:
+            dc = blk[0, 0]
+            blk[:] = 0
+            blk[0, 0] = dc
+    raw = make_progressive_jpeg(blocks, [qy, qc], w, h, comps)
+    got = _jpeg_pixels(raw)
+    assert got is not None and got[:3] == (w, h, 3)
+    np.testing.assert_array_equal(
+        got[3], _reference_decode(blocks, [qy, qc, qc], w, h, comps))
+
+
+def test_progressive_header_stats_dispatch():
+    """ops.multimodal image_pixel_stats now covers progressive input
+    (previously the declared-unsupported path)."""
+    from m3spark.ops.multimodal import image_pixel_stats
+
+    w, h = 16, 16
+    rng = np.random.default_rng(7)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    q = np.ones((8, 8)) * 4
+    blocks = [_rand_blocks(rng, _n_blocks(w, h, comps)[0])]
+    raw = make_progressive_jpeg(blocks, [q], w, h, comps)
+    st = image_pixel_stats(raw)
+    ref = _reference_decode(blocks, [q], w, h, comps)
+    assert st["width"] == w and st["height"] == h
+    assert st["px_mean"] == pytest.approx(float(ref.mean()), abs=1e-9)
