@@ -565,7 +565,8 @@ def _comp_grids(coeff_blocks, w, h, comps):
 
 
 def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
-                          al_dc=1, al_ac=1, bands=((1, 5), (6, 63))):
+                          al_dc=1, al_ac=1, bands=((1, 5), (6, 63)),
+                          restart=0):
     """Build a progressive JPEG (SOF2) from the same quantized
     coefficient blocks make_jpeg consumes: DC first at Al=al_dc +
     successive DC refinements to 0; per-component spectral-selection
@@ -584,7 +585,25 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     out += _seg(0xC2, sof)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
     grids, mcux, mcuy = _comp_grids(coeff_blocks, w, h, comps)
+    rstno = [0]
+
+    def maybe_rst(wtr, m, pred=None):
+        """Emit RSTn between restart intervals (m = 1-based unit count
+        already emitted); returns a fresh writer."""
+        if not restart or m % restart or m == 0:
+            return wtr
+        wtr.flush()
+        nonlocal_out = wtr.out
+        out.extend(nonlocal_out)
+        out.extend(bytes([0xFF, 0xD0 + (rstno[0] % 8)]))
+        rstno[0] += 1
+        if pred is not None:
+            for i_ in range(len(pred)):
+                pred[i_] = 0
+        return _W()
 
     def sos_hdr(ids, ss, se, ah, al):
         seg = bytes([len(ids)])
@@ -598,6 +617,7 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
     pred = [0] * len(comps)
     for my in range(mcuy):
         for mx in range(mcux):
+            wtr = maybe_rst(wtr, my * mcux + mx, pred)
             for ci, c in enumerate(comps):
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -620,6 +640,7 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
         wtr = _W()
         for my in range(mcuy):
             for mx in range(mcux):
+                wtr = maybe_rst(wtr, my * mcux + mx)
                 for ci, c in enumerate(comps):
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
@@ -637,6 +658,10 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
             pend = [0]
             for by in range(bh):
                 for bx in range(bw):
+                    m = by * bw + bx
+                    if restart and m and m % restart == 0:
+                        _flush_eobrun(wtr, ac_lut, pend)
+                        wtr = maybe_rst(wtr, m)
                     _emit_ac_first_block(wtr, _flatzz(g[(by, bx)]),
                                          ss, se, al_ac, ac_lut, pend)
             _flush_eobrun(wtr, ac_lut, pend)
@@ -647,6 +672,7 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
                 wtr = _W()
                 for by in range(bh):
                     for bx in range(bw):
+                        wtr = maybe_rst(wtr, by * bw + bx)
                         _emit_ac_refine_block(wtr, _flatzz(g[(by, bx)]),
                                               ss, se, a, ac_lut)
                 wtr.flush()
@@ -744,3 +770,40 @@ def test_progressive_header_stats_dispatch():
     ref = _reference_decode(blocks, [q], w, h, comps)
     assert st["width"] == w and st["height"] == h
     assert st["px_mean"] == pytest.approx(float(ref.mean()), abs=1e-9)
+
+
+@pytest.mark.parametrize("restart", [1, 2, 3])
+def test_progressive_restart_markers(restart):
+    """RSTn inside progressive scans: DC predictors and EOB runs reset
+    at every interval, in every scan kind (DC first/refine, AC
+    first/refine)."""
+    w, h = 32, 24
+    rng = np.random.default_rng(restart * 31)
+    comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+    q = np.ones((8, 8)) * 4
+    blocks = [_rand_blocks(rng, _n_blocks(w, h, comps)[0])]
+    raw = make_progressive_jpeg(blocks, [q], w, h, comps,
+                                restart=restart)
+    assert b"\xff\xd0" in raw or b"\xff\xd1" in raw
+    got = _jpeg_pixels(raw)
+    assert got is not None and got[:3] == (w, h, 1)
+    np.testing.assert_array_equal(
+        got[3], _reference_decode(blocks, [q], w, h, comps))
+
+
+def test_progressive_restart_color():
+    w, h = 32, 32
+    rng = np.random.default_rng(88)
+    comps = [{"id": 1, "h": 2, "v": 2, "tq": 0},
+             {"id": 2, "h": 1, "v": 1, "tq": 1},
+             {"id": 3, "h": 1, "v": 1, "tq": 1}]
+    qy = np.ones((8, 8)) * 3
+    qc = np.ones((8, 8)) * 5
+    nb = _n_blocks(w, h, comps)
+    blocks = [_rand_blocks(rng, nb[ci]) for ci in range(3)]
+    raw = make_progressive_jpeg(blocks, [qy, qc], w, h, comps,
+                                restart=2)
+    got = _jpeg_pixels(raw)
+    assert got is not None and got[:3] == (w, h, 3)
+    np.testing.assert_array_equal(
+        got[3], _reference_decode(blocks, [qy, qc, qc], w, h, comps))
