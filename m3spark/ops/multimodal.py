@@ -385,8 +385,13 @@ def _wav_samples(raw: bytes):
     ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    if afmt == 0xFFFE and len(fmt) >= 40:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first
+        # two bytes of the SubFormat GUID; samples fill the container
+        # width declared at fmt[14:16]
+        afmt = int.from_bytes(fmt[24:26], "little")
     if afmt != 1 or ch == 0 or rate == 0 or bits not in (8, 16, 24, 32):
-        return None
+        return None  # non-PCM (incl. IEEE float) stays declared-out
     block = (bits // 8) * ch
     nfr = len(data) // block
     if nfr == 0:

@@ -175,3 +175,50 @@ def test_decode_audio_samples_op(spark):
             got = out[i][k]
             assert (got == pytest.approx(v) if isinstance(v, float)
                     else got == v), (i, k, got, v)
+
+
+def test_wav_extensible_pcm():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM: the SubFormat
+    GUID's leading format code selects PCM; decode matches the plain
+    fmt-1 file with the same frames."""
+    import struct
+
+    from m3spark.ops.multimodal import wav_sample_stats
+
+    frames = [(-300, 500), (1200, -1), (7, 7)]
+    data = b"".join(struct.pack("<hh", a, b) for a, b in frames)
+
+    def riff(fmt_chunk):
+        chunks = b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        if len(fmt_chunk) & 1:
+            chunks += b"\x00"
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
+            + chunks
+
+    plain = riff(struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16))
+    guid_pcm = struct.pack("<H", 1) + bytes(14)
+    ext = riff(struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16)
+               + struct.pack("<HHI", 22, 16, 0x3) + guid_pcm)
+    sp, se = wav_sample_stats(plain), wav_sample_stats(ext)
+    assert sp == se
+    assert se["n_frames"] == 3 and se["smp_min"] == -300 \
+        and se["smp_max"] == 1200
+
+
+def test_wav_extensible_float_declared_out():
+    """Extensible wrapping IEEE float (SubFormat code 3) stays the
+    declared-unsupported path (NULL stats)."""
+    import struct
+
+    from m3spark.ops.multimodal import wav_sample_stats
+
+    data = struct.pack("<ff", 0.5, -0.5)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 32000, 4, 32) \
+        + struct.pack("<HHI", 22, 32, 0x3) \
+        + struct.pack("<H", 3) + bytes(14)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    st = wav_sample_stats(raw)
+    assert st["n_frames"] is None
