@@ -1004,3 +1004,33 @@ def test_ref_to_vendored_meta_schema_resolves(spark):
              ('{"s": {"type": "nonsense"}}',)], "doc string"),
         schema).collect()]
     assert got == ref == [True, False]
+
+
+@pytest.mark.parametrize("order", ["plain_first", "dyn_first"])
+def test_registry_admission_order_parity(spark, order):
+    """A registry resource carrying a $dynamicAnchor, referenced by a
+    plain $ref AND a bookend-checked $dynamicRef: both engines admit
+    registry resources lazily in traversal order, so the bookend check
+    may run before or after admission depending on which reference
+    comes first — parity must hold either way."""
+    registry = {"https://reg.test/node": {
+        "$id": "https://reg.test/node", "$dynamicAnchor": "nd",
+        "type": "integer", "minimum": 1}}
+    props = {
+        "p": {"$ref": "https://reg.test/node"},
+        "d": {"$dynamicRef": "https://reg.test/node#nd"},
+    }
+    if order == "dyn_first":
+        props = {"d": props["d"], "p": props["p"]}
+    schema = {"$schema": D2020, "properties": props}
+    rows = [(2, 2), (0, 2), (2, 0), (None, None)]
+    ddl = "p int, d int" if order == "plain_first" else "d int, p int"
+    names = ("p", "d") if order == "plain_first" else ("d", "p")
+    got = _parity(spark, schema, rows,
+                  "p int, d int" if order == "plain_first"
+                  else "d int, p int",
+                  names, registry=registry)
+    if order == "plain_first":
+        assert got == [True, False, False, True]
+    else:
+        assert got == [True, False, False, True]
