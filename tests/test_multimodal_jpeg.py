@@ -483,11 +483,12 @@ def _flush_eobrun(w, ac_lut, pend):
         run -= chunk
 
 
-def _emit_ac_refine_block(w, flat, ss, se, a, ac_lut):
-    """One block of an AC refinement scan (Ah=a+1, Al=a): mirrors the
-    decoder's walk — symbol, sign/ext bits, then the correction bits
-    of nonzero-history positions passed by that symbol's window."""
+def _refine_block_parts(flat, ss, se, a):
+    """Classify one block's refinement band: -> (seq, last_new) where
+    seq is [('h', bit) | ('n', sign) | ('z', 0)] and last_new is the
+    band index of the last newly-nonzero coefficient (or None)."""
     seq = []
+    last_new = None
     for k in range(ss, se + 1):
         v = flat[k]
         hist = abs(v) >> (a + 1)
@@ -496,12 +497,20 @@ def _emit_ac_refine_block(w, flat, ss, se, a, ac_lut):
             seq.append(("h", lvl & 1))
         elif lvl:
             seq.append(("n", 1 if v > 0 else 0))
+            last_new = len(seq) - 1
         else:
             seq.append(("z", 0))
-    i, n = 0, len(seq)
-    while i < n:
+    return seq, last_new
+
+
+def _emit_refine_symbols(w, seq, upto, ac_lut):
+    """Emit the (r,1)/ZRL symbol stream covering seq[:upto+1],
+    mirroring the decoder's walk order (symbol, sign, then the
+    correction bits of positions passed by that symbol's window)."""
+    i = 0
+    while i <= upto:
         j, zc, nxt = i, 0, None
-        while j < n:
+        while j <= upto:
             t = seq[j][0]
             if t == "n":
                 nxt = j
@@ -509,14 +518,6 @@ def _emit_ac_refine_block(w, flat, ss, se, a, ac_lut):
             if t == "z":
                 zc += 1
             j += 1
-        if nxt is None:
-            rest_h = [b for t, b in seq[i:] if t == "h"]
-            if zc > 0 or rest_h:
-                c, ln = ac_lut[0x00]   # EOB0: run of exactly 1
-                w.bits(c, ln)
-                for b in rest_h:
-                    w.bits(b, 1)
-            return
         while zc > 15:
             c, ln = ac_lut[0xF0]
             w.bits(c, ln)
@@ -538,6 +539,47 @@ def _emit_ac_refine_block(w, flat, ss, se, a, ac_lut):
                 w.bits(b, 1)
             i += 1
         i = nxt + 1
+
+
+def _flush_refine_eobrun(w, ac_lut, pending):
+    """Emit EOBn covering len(pending) blocks, then each covered
+    block's correction bits in block order (the decoder reads them in
+    its per-block tail loops).  Chunks runs beyond 2^15-1."""
+    blocks = pending[:]
+    del pending[:]
+    n = len(blocks)
+    start = 0
+    while n > 0:
+        r = min(14, n.bit_length() - 1)
+        chunk = min(n, (1 << (r + 1)) - 1)
+        c, ln = ac_lut[r << 4]
+        w.bits(c, ln)
+        if r:
+            w.bits(chunk - (1 << r), r)
+        for hbits in blocks[start:start + chunk]:
+            for b in hbits:
+                w.bits(b, 1)
+        start += chunk
+        n -= chunk
+
+
+def _emit_ac_refine_scan(w, flats, ss, se, a, ac_lut):
+    """A whole AC refinement scan with TRUE cross-block EOB runs:
+    blocks with no newly-nonzero coefficient join the pending run;
+    a block with new coefficients flushes the run, emits its symbol
+    walk, and its trailing band (if any) starts the next run."""
+    pending = []  # per-covered-block correction-bit lists
+    for flat in flats:
+        seq, last_new = _refine_block_parts(flat, ss, se, a)
+        if last_new is None:
+            pending.append([b for t, b in seq if t == "h"])
+            continue
+        _flush_refine_eobrun(w, ac_lut, pending)
+        _emit_refine_symbols(w, seq, last_new, ac_lut)
+        if last_new < len(seq) - 1:
+            pending.append([b for t, b in seq[last_new + 1:]
+                            if t == "h"])
+    _flush_refine_eobrun(w, ac_lut, pending)
 
 
 def _comp_grids(coeff_blocks, w, h, comps):
@@ -670,11 +712,17 @@ def make_progressive_jpeg(coeff_blocks, qtabs, w, h, comps,
             for a in range(al_ac - 1, -1, -1):
                 out += sos_hdr([c["id"]], ss, se, a + 1, a)
                 wtr = _W()
-                for by in range(bh):
-                    for bx in range(bw):
-                        wtr = maybe_rst(wtr, by * bw + bx)
-                        _emit_ac_refine_block(wtr, _flatzz(g[(by, bx)]),
-                                              ss, se, a, ac_lut)
+                flats = [_flatzz(g[(by, bx)]) for by in range(bh)
+                         for bx in range(bw)]
+                if restart:
+                    # EOB runs cannot cross restart intervals
+                    for st in range(0, len(flats), restart):
+                        if st:
+                            wtr = maybe_rst(wtr, st)
+                        _emit_ac_refine_scan(wtr, flats[st:st + restart],
+                                             ss, se, a, ac_lut)
+                else:
+                    _emit_ac_refine_scan(wtr, flats, ss, se, a, ac_lut)
                 wtr.flush()
                 out += wtr.out
     out += b"\xff\xd9"
