@@ -765,6 +765,20 @@ def q_val_dynamic_ref(spark, sf_dir):
             .select("doc_id", "keyword", "doc_path", "value"))
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact substring (passage) dedup over `documents` (§2.10b
+    training-data ops): word 8-grams appearing in >= 2 distinct docs,
+    pure-JVM sequence/transform/slice windowing + one gram-keyed
+    count-distinct shuffle (ops/dedup.py substring_dup_passages).  The
+    oracle recomputes every gram and count with DuckDB list slicing —
+    full value-hash check over (gram, n_docs)."""
+    from m3spark.ops.dedup import substring_dup_passages
+
+    return substring_dup_passages(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("gram", "n_docs")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -1108,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_content_documents": q_val_content_documents,
         "val_recursive_ref": q_val_recursive_ref,
         "val_dynamic_ref": q_val_dynamic_ref,
+        "dedup_substring_documents": q_dedup_substring,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -1333,6 +1348,15 @@ def oracle_sql() -> dict[str, str]:
                    repeat('/child', CAST(k AS INT)) || '/v' AS doc_path,
                    CAST((doc_id * 11 + k) % 130 AS VARCHAR) AS value
             FROM n WHERE (doc_id * 11 + k) % 130 > 100
+        """,
+        "dedup_substring_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 8),
+            g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+                  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i))
+            SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count

@@ -123,6 +123,7 @@ def run_bench() -> dict:
         # quantizer), baseline-JPEG + WAV-PCM full decodes
         "ann_ivf_embeddings", "multimodal_jpeg_stats",
         "multimodal_audio_stats", "val_dynamic_ref",
+        "dedup_substring_documents",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())

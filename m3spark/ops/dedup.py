@@ -243,3 +243,34 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         fp = fp.bitwiseOR(F.when(v > 0, F.shiftleft(one, b))
                            .otherwise(F.lit(0).cast("long")))
     return df.select(F.col(id_col).alias("_id"), fp.alias("simhash"))
+
+
+def substring_dup_passages(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Exact substring (passage) dedup: word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents -> (gram, n_docs).
+
+    The training-data "exact substring deduplication" primitive
+    (repeated boilerplate/passages across a crawl; cf. Lee et al. 2021
+    deduplicating-training-data): whitespace word split, sliding
+    n-gram windows via sequence/transform/slice (pure JVM, zero
+    Python), explode, count-distinct docs per gram.
+
+    Scale path: the explode is linear in corpus token count
+    (~len(words) rows per doc); countDistinct runs as Spark's standard
+    two-phase partial-distinct aggregate, so per-gram doc sets never
+    materialize on one node; boilerplate grams (navigation chrome,
+    license headers) are the natural skew keys — AQE skew handling
+    applies on the single gram shuffle.  No reference analog (m3 has
+    no dedup); part of the graft's training-data mandate."""
+    w = F.split(F.col(text_col), " ")
+    grams = (df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+               .where(F.size("_w") >= n)
+               .select("_id", F.explode(
+                   F.transform(F.sequence(F.lit(1), F.size("_w") - n + 1),
+                               lambda i: F.array_join(
+                                   F.slice("_w", i, n), " "))
+               ).alias("gram")))
+    return (grams.groupBy("gram")
+                 .agg(F.countDistinct("_id").alias("n_docs"))
+                 .where(F.col("n_docs") >= min_docs))

@@ -224,3 +224,47 @@ def test_psi_split_empty_side_is_finite(spark):
     assert r["psi"] is not None
     k = ks_split(df, F.col("id") % 3, F.lit(True)).collect()[0]
     assert k["ks"] is not None
+
+
+def test_substring_dup_passages(spark):
+    """Planted repeated passage across docs: the shared 8-gram windows
+    are reported with DISTINCT-doc counts; within-doc repetition does
+    not inflate the count; short docs are excluded."""
+    from m3spark.ops.dedup import substring_dup_passages
+
+    shared = "the quick brown fox jumps over the lazy"  # exactly 8 words
+    rows = [
+        (1, shared + " dog sits"),
+        (2, "intro words here then " + shared + " dog"),
+        (3, shared + " cat and also " + shared + " cat"),  # twice in one doc
+        (4, "totally unrelated content with eight plus words in it"),
+        (5, "short doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["gram"]: r["n_docs"]
+           for r in substring_dup_passages(df, "doc_id", "text").collect()}
+    # the full shared passage appears in docs 1, 2, 3 -> 3 distinct
+    assert out[shared] == 3
+    # "...lazy dog" window shared by docs 1 and 2 only
+    tail = "quick brown fox jumps over the lazy dog"
+    assert out[tail] == 2
+    # no gram from the unrelated or short docs
+    assert all(g not in out for g in ("totally unrelated content with "
+                                      "eight plus words in",))
+    # within-doc duplication (doc 3) never counts twice
+    assert all(v >= 2 for v in out.values())
+
+
+def test_substring_dup_min_docs_and_n(spark):
+    from m3spark.ops.dedup import substring_dup_passages
+
+    rows = [(1, "a b c d"), (2, "a b c e"), (3, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["gram"]: r["n_docs"]
+           for r in substring_dup_passages(df, "doc_id", "text",
+                                           n=3, min_docs=3).collect()}
+    assert out == {"a b c": 3}
+    out2 = {r["gram"]: r["n_docs"]
+            for r in substring_dup_passages(df, "doc_id", "text",
+                                            n=4, min_docs=2).collect()}
+    assert out2 == {"a b c d": 2}

@@ -27,6 +27,7 @@ EXPECTED_SHUFFLES = {
     "minhash_pairs_fast",
     "lsh_ann_embeddings", "ann_ivf_embeddings", "pages_validate",
     "hll_stats_events", "dedup_embedding_lsh",
+    "dedup_substring_documents",
 }
 # queries that legitimately cross into Python (Arrow-batched)
 EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
