@@ -779,6 +779,26 @@ def q_dedup_substring(spark, sf_dir):
     ).select("gram", "n_docs")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution (r7): the terminal dedup step.
+    Chains the fully-oracle-checked portable MinHash+LSH candidate
+    pairs (est_jaccard >= 0.5) into ops/dedup.py dedup_clusters —
+    alternating large-star/small-star connected components, all keyed
+    DataFrame shuffles, no driver-side union-find — and emits
+    (doc_id, cluster_id, is_canonical): cluster_id is the component's
+    smallest doc_id, is_canonical marks the one doc per near-dup
+    cluster a training-data pipeline would KEEP.  The oracle replays
+    the identical pair pipeline in DuckDB and resolves components with
+    a recursive-CTE min-label fixpoint — the whole chain
+    (shingle → minhash → bands → pairs → clusters) is value-exact."""
+    from m3spark.ops import dedup_clusters, minhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_pairs(docs, "doc_id", "text", num_hashes=32,
+                          bands=8, hash_fn="portable")
+    return dedup_clusters(pairs.where(F.col("est_jaccard") >= 0.5))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column decode plumbing (Arrow-batched mapInPandas; stub
     decoder with deterministic byte-stat features).  The oracle
@@ -1123,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_recursive_ref": q_val_recursive_ref,
         "val_dynamic_ref": q_val_dynamic_ref,
         "dedup_substring_documents": q_dedup_substring,
+        "dedup_clusters_documents": q_dedup_clusters,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -1596,6 +1617,62 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.id_a, c.id_b)
             SELECT id_a, id_b, ROUND(n_eq / 32.0, 6) AS est_jaccard
             FROM agree
+        """,
+        # same pair pipeline as minhash_pairs_documents (threshold
+        # n_eq >= 16 == est_jaccard >= 0.5), then connected components
+        # as a recursive-CTE min-label fixpoint: a label L reaches every
+        # node of its component along edges (pruned to L < node, which
+        # the component minimum always satisfies), so MIN(lbl) per node
+        # IS the component minimum — value-exact vs large-star/small-star
+        "dedup_clusters_documents": """
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id, substr(text, i, 8) AS shingle
+              FROM documents,
+                   UNNEST(range(1, GREATEST(length(text) - 7, 1) + 1, 4))
+                     AS t(i)),
+            h30 AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('|' || shingle), 1, 15))
+                          AS BIGINT) % 1073741824 AS h30
+              FROM sh),
+            hs AS (
+              SELECT doc_id, j,
+                     MIN((h30 * (2 * j + 1)
+                          + (j * 2654435761) % 2147483647)
+                         % 2147483647) AS hv
+              FROM h30, UNNEST(range(0, 32)) AS u(j)
+              GROUP BY doc_id, j),
+            bandkey AS (
+              SELECT doc_id, (j // 4) AS band,
+                     CAST(('0x' || substr(md5(string_agg(hv::VARCHAR, ','
+                                                         ORDER BY j)),
+                                          1, 15)) AS BIGINT) AS bucket
+              FROM hs GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bandkey a JOIN bandkey b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+            agree AS (
+              SELECT c.id_a, c.id_b,
+                     SUM(CASE WHEN ha.hv = hb.hv THEN 1 ELSE 0 END) AS n_eq
+              FROM cand c
+              JOIN hs ha ON ha.doc_id = c.id_a
+              JOIN hs hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+              GROUP BY c.id_a, c.id_b),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM agree WHERE n_eq >= 16
+              UNION
+              SELECT id_b, id_a FROM agree WHERE n_eq >= 16),
+            cc AS (
+              SELECT u AS node, u AS lbl FROM und
+              UNION
+              SELECT e.v AS node, cc.lbl
+              FROM cc JOIN und e ON e.u = cc.node
+              WHERE cc.lbl < e.v)
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+                   (node = MIN(lbl)) AS is_canonical
+            FROM cc GROUP BY node
         """,
         "simhash_documents": """
             WITH tok AS (

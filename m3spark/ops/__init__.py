@@ -6,8 +6,8 @@ search, text analysis, and multimodal-column plumbing — the operations a
 """
 
 from .dedup import (  # noqa: F401
-    char_shingles, exact_duplicates, jaccard_pairs, minhash_pairs,
-    minhash_signatures, simhash,
+    char_shingles, dedup_clusters, exact_duplicates, jaccard_pairs,
+    minhash_pairs, minhash_signatures, simhash,
 )
 from .similarity import (  # noqa: F401
     cosine_topk, ivf_topk, ivf_topk_fixed, ivf_topk_queries,

@@ -245,6 +245,102 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return df.select(F.col(id_col).alias("_id"), fp.alias("simhash"))
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 30) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over
+    candidate-pair edges -> (doc_id, cluster_id, is_canonical).
+
+    The terminal dedup step: every near-dup op in this module emits
+    PAIRS; the drop decision needs transitive clusters (a~b, b~c =>
+    {a,b,c} one cluster, keep one).  Alternating large-star /
+    small-star (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — O(log^2 n) rounds on any graph, each
+    round two keyed shuffles — no driver-side union-find, the edge
+    set is never collected.
+
+    - large-star: per node u, hook every LARGER neighbor to
+      m = min(N(u) + {u}).
+    - small-star: orient edges big->small; per node u hook u and all
+      its (smaller) neighbors to m = min(N(u)).
+
+    Both are a window-min over the edge's source key (one shuffle)
+    plus a distinct (second shuffle); every emitted edge keeps the
+    big->small orientation, and the fixpoint is a star forest: each
+    node points at its component minimum.  Convergence is detected by
+    a (count, hash-xor) fingerprint — one single-row aggregate per
+    round, the only driver-side data.  Lineage is truncated each
+    round via localCheckpoint (on a cluster, set a reliable
+    checkpoint dir and ``.checkpoint()`` takes over automatically).
+
+    Returns one row per node seen in ``pairs``: cluster_id is the
+    smallest doc id of the component, is_canonical marks the keeper.
+    No reference analog (m3 has no dedup); training-data mandate.
+    """
+    from pyspark.sql import Window
+
+    spark = pairs.sparkSession
+    edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                          F.col(id_b).cast("long").alias("v"))
+                  .where(F.col("u").isNotNull() & F.col("v").isNotNull()
+                         & (F.col("u") != F.col("v")))
+                  .select(F.greatest("u", "v").alias("u"),
+                          F.least("u", "v").alias("v"))
+                  .distinct())
+
+    w = Window.partitionBy("u")
+
+    def large_star(e):
+        # symmetrize, then hook larger neighbors to the local min
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        s = sym.select("u", "v",
+                       F.least(F.min("v").over(w), F.col("u")).alias("m"))
+        return (s.where(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+
+    def small_star(e):
+        # edges already big->small, so min(N(u) + {u}) = min(N(u))
+        s = e.select("u", "v", F.min("v").over(w).alias("m"))
+        hooked = (s.where(F.col("v") != F.col("m"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        self_edge = s.select("u", F.col("m").alias("v"))
+        return hooked.union(self_edge).distinct()
+
+    def _materialize(e):
+        if spark.sparkContext.getCheckpointDir() is not None:
+            return e.checkpoint(eager=True)
+        return e.localCheckpoint(eager=True)
+
+    def _fingerprint(e):
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).collect()[0]
+        return row["n"], row["h"]
+
+    cur = _materialize(edges)
+    fp = _fingerprint(cur)
+    prev_handle = cur
+    for _ in range(max_iter):
+        nxt = _materialize(small_star(large_star(cur)))
+        nfp = _fingerprint(nxt)
+        prev_handle.unpersist()
+        cur, prev_handle = nxt, nxt
+        if nfp == fp:
+            break
+        fp = nfp
+
+    # fixpoint star forest: u -> component min; roots appear only as v
+    labels = cur.select(F.col("u").alias("doc_id"),
+                        F.col("v").alias("cluster_id"))
+    roots = (cur.select(F.col("v").alias("doc_id"),
+                        F.col("v").alias("cluster_id"))
+                .distinct())
+    return (labels.union(roots).distinct()
+                  .select("doc_id", "cluster_id",
+                          (F.col("doc_id") == F.col("cluster_id"))
+                          .alias("is_canonical")))
+
+
 def substring_dup_passages(df: DataFrame, id_col: str, text_col: str,
                            n: int = 8, min_docs: int = 2) -> DataFrame:
     """Exact substring (passage) dedup: word n-grams appearing in at

@@ -268,3 +268,71 @@ def test_substring_dup_min_docs_and_n(spark):
             for r in substring_dup_passages(df, "doc_id", "text",
                                             n=4, min_docs=2).collect()}
     assert out2 == {"a b c d": 2}
+
+
+# ---- dedup_clusters: connected components over candidate pairs ----
+
+
+def _uf_clusters(edges):
+    """Test-local union-find oracle (driver-side is fine IN A TEST)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check_clusters(spark, edges, max_iter=30):
+    from m3spark.ops import dedup_clusters
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(df, max_iter=max_iter).collect()}
+    want = _uf_clusters(edges)
+    assert set(got) == set(want)
+    for node, (cid, canon) in got.items():
+        assert cid == want[node], (node, cid, want[node])
+        assert canon == (node == cid)
+    # exactly one canonical per cluster
+    canons = [n for n, (_, c) in got.items() if c]
+    assert sorted(canons) == sorted(set(c for c, _ in got.values()))
+
+
+def test_dedup_clusters_multi_component(spark):
+    """Planted multi-component graph: chain + triangle sharing a node,
+    a separate pair, transitive closure across both."""
+    edges = [(1, 2), (2, 3), (3, 4),          # chain
+             (10, 11), (11, 12), (10, 12),    # triangle
+             (4, 10),                         # merges chain+triangle
+             (20, 21),                        # separate component
+             (30, 31), (31, 32)]
+    _check_clusters(spark, edges)
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 60-node path is the worst case for plain min-propagation
+    (diameter 59); large-star/small-star must converge in far fewer
+    rounds than the diameter (max_iter=12 << 59)."""
+    edges = [(i, i + 1) for i in range(60)]
+    _check_clusters(spark, edges, max_iter=12)
+
+
+def test_dedup_clusters_dirty_input(spark):
+    """Reversed duplicates, self-loops, and repeated pairs collapse to
+    the same clusters."""
+    edges = [(2, 1), (1, 2), (3, 3), (2, 3), (3, 2), (5, 4)]
+    from m3spark.ops import dedup_clusters
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
