@@ -767,16 +767,36 @@ def q_val_dynamic_ref(spark, sf_dir):
 
 def q_dedup_substring(spark, sf_dir):
     """Exact substring (passage) dedup over `documents` (§2.10b
-    training-data ops): word 8-grams appearing in >= 2 distinct docs,
-    pure-JVM sequence/transform/slice windowing + one gram-keyed
-    count-distinct shuffle (ops/dedup.py substring_dup_passages).  The
-    oracle recomputes every gram and count with DuckDB list slicing —
-    full value-hash check over (gram, n_docs)."""
+    training-data ops): word 8-grams appearing in >= 2 docs, pure-JVM
+    sequence/transform/slice windowing, per-doc array_distinct, then
+    ONE aggregate keyed on the 8-byte gram HASH (r7 — the shuffle no
+    longer carries full gram strings; a min-gram exemplar travels once
+    per map-partition group).  hash_fn='portable' (md5-60bit) so the
+    oracle recomputes every key, exemplar, and count with DuckDB list
+    slicing — full value-hash check over (gram_hash, gram, n_docs)."""
     from m3spark.ops.dedup import substring_dup_passages
 
     return substring_dup_passages(
-        _t(spark, sf_dir, "documents"), "doc_id", "text"
-    ).select("gram", "n_docs")
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        hash_fn="portable"
+    ).select("gram_hash", "gram", "n_docs")
+
+
+def q_dedup_passage_fraction(spark, sf_dir):
+    """Per-document duplicate-passage fraction (r7) — the filter
+    signal exact-substring dedup exists to produce: share of each
+    doc's 8-gram positions whose gram occurs in >= 2 docs.  Dup-gram
+    set and position stream both travel as 8-byte hashes; AQE picks
+    the join strategy.  Portable hash => DuckDB recomputes every
+    fraction exactly; only docs with at least one duplicated passage
+    are emitted (the drop/keep candidates)."""
+    from m3spark.ops.dedup import substring_dup_fraction
+
+    return (substring_dup_fraction(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        hash_fn="portable")
+        .where(F.col("n_dup_grams") > 0)
+        .select("doc_id", "n_grams", "n_dup_grams", "dup_fraction"))
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1144,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_dynamic_ref": q_val_dynamic_ref,
         "dedup_substring_documents": q_dedup_substring,
         "dedup_clusters_documents": q_dedup_clusters,
+        "dedup_passage_fraction_documents": q_dedup_passage_fraction,
         "uniqueness_documents": q_uniqueness_documents,
         "ref_orders_without_lineitems": q_ref_orders_without_lineitems,
         "ref_lineitem_orphans": q_ref_lineitem_orphans,
@@ -1374,10 +1395,38 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents
                        WHERE len(string_split(text, ' ')) >= 8),
-            g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[i:i+7], ' ') AS gram
                   FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i))
-            SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
-            FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+            SELECT CAST(('0x' || substr(md5('|' || gram), 1, 15))
+                        AS BIGINT) AS gram_hash,
+                   MIN(gram) AS gram, COUNT(*)::BIGINT AS n_docs
+            FROM g GROUP BY gram_hash HAVING COUNT(*) >= 2
+        """,
+        "dedup_passage_fraction_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 8),
+            pos AS (SELECT doc_id,
+                           array_to_string(ws[i:i+7], ' ') AS gram
+                    FROM w,
+                         UNNEST(generate_series(1, len(ws) - 7)) AS t(i)),
+            gd AS (SELECT DISTINCT doc_id, gram FROM pos),
+            dup AS (SELECT CAST(('0x' || substr(md5('|' || gram), 1, 15))
+                                AS BIGINT) AS gh
+                    FROM gd GROUP BY gh HAVING COUNT(*) >= 2),
+            mark AS (SELECT p.doc_id,
+                            CASE WHEN d.gh IS NOT NULL THEN 1 END AS m
+                     FROM (SELECT doc_id,
+                                  CAST(('0x' || substr(md5('|' || gram),
+                                                       1, 15))
+                                       AS BIGINT) AS gh
+                           FROM pos) p
+                     LEFT JOIN dup d ON p.gh = d.gh)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+                   COUNT(m)::BIGINT AS n_dup_grams,
+                   ROUND(COUNT(m) / COUNT(*), 6) AS dup_fraction
+            FROM mark GROUP BY doc_id HAVING COUNT(m) > 0
         """,
         "uniqueness_documents": """
             SELECT lang, source, COUNT(*)::BIGINT AS dup_count

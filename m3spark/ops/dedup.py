@@ -341,32 +341,97 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
                           .alias("is_canonical")))
 
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int,
+               distinct_per_doc: bool) -> DataFrame:
+    """(_id, gram) word n-gram stream — sliding windows via
+    sequence/transform/slice, pure JVM.  ``distinct_per_doc`` dedupes
+    the gram array BEFORE the explode (array_distinct, still local),
+    so downstream per-gram doc counts are a plain map-side-combinable
+    count — no two-phase distinct aggregate needed."""
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(F.sequence(F.lit(1), F.size("_w") - n + 1),
+                        lambda i: F.array_join(F.slice("_w", i, n), " "))
+    if distinct_per_doc:
+        grams = F.array_distinct(grams)
+    return (df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+              .where(F.size("_w") >= n)
+              .select("_id", F.explode(grams).alias("gram")))
+
+
 def substring_dup_passages(df: DataFrame, id_col: str, text_col: str,
-                           n: int = 8, min_docs: int = 2) -> DataFrame:
+                           n: int = 8, min_docs: int = 2,
+                           hash_fn: str = "xxhash64") -> DataFrame:
     """Exact substring (passage) dedup: word n-grams appearing in at
-    least ``min_docs`` DISTINCT documents -> (gram, n_docs).
+    least ``min_docs`` documents -> (gram_hash, gram, n_docs).
 
     The training-data "exact substring deduplication" primitive
     (repeated boilerplate/passages across a crawl; cf. Lee et al. 2021
     deduplicating-training-data): whitespace word split, sliding
     n-gram windows via sequence/transform/slice (pure JVM, zero
-    Python), explode, count-distinct docs per gram.
+    Python), per-doc array_distinct BEFORE the explode, then ONE
+    aggregate keyed on the 8-byte gram hash.
 
-    Scale path: the explode is linear in corpus token count
-    (~len(words) rows per doc); countDistinct runs as Spark's standard
-    two-phase partial-distinct aggregate, so per-gram doc sets never
-    materialize on one node; boilerplate grams (navigation chrome,
-    license headers) are the natural skew keys — AQE skew handling
-    applies on the single gram shuffle.  No reference analog (m3 has
-    no dedup); part of the graft's training-data mandate."""
-    w = F.split(F.col(text_col), " ")
-    grams = (df.select(F.col(id_col).alias("_id"), w.alias("_w"))
-               .where(F.size("_w") >= n)
-               .select("_id", F.explode(
-                   F.transform(F.sequence(F.lit(1), F.size("_w") - n + 1),
-                               lambda i: F.array_join(
-                                   F.slice("_w", i, n), " "))
-               ).alias("gram")))
-    return (grams.groupBy("gram")
-                 .agg(F.countDistinct("_id").alias("n_docs"))
+    Scale shape (r7, replaces the r6 gram-string key): the shuffle key
+    is ``xxhash64(gram)`` — 8 bytes instead of the ~n-word string —
+    and because grams are already doc-distinct the doc count is a
+    plain map-side-combinable ``count``, not a two-phase
+    count-distinct: each map partition emits one (hash, partial_count,
+    min-gram exemplar) row per distinct gram it saw, so shuffle bytes
+    scale with distinct-grams-per-partition, not gram occurrences.
+    The exemplar is ``min(gram)`` (deterministic, oracle-matchable);
+    boilerplate grams remain the natural skew keys — AQE skew
+    handling applies on the single hash-keyed shuffle.  64-bit hash
+    collisions conflate grams (standard for this op; the exemplar
+    shows one survivor).  ``hash_fn='portable'`` uses the md5-60bit
+    hash (ops.phash) so DuckDB reproduces every key.  No reference
+    analog (m3 has no dedup); training-data mandate."""
+    from m3spark.ops.phash import portable_hash60
+
+    grams = _doc_grams(df, id_col, text_col, n, distinct_per_doc=True)
+    h = (portable_hash60(F.col("gram")) if hash_fn == "portable"
+         else F.xxhash64("gram"))
+    return (grams.select(h.alias("gram_hash"), "gram")
+                 .groupBy("gram_hash")
+                 .agg(F.min("gram").alias("gram"),
+                      F.count(F.lit(1)).alias("n_docs"))
                  .where(F.col("n_docs") >= min_docs))
+
+
+def substring_dup_fraction(df: DataFrame, id_col: str, text_col: str,
+                           n: int = 8, min_docs: int = 2,
+                           hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-document duplicate-passage fraction — the actual filter
+    signal: (doc_id, n_grams, n_dup_grams, dup_fraction) where
+    dup_fraction is the share of the doc's gram POSITIONS whose gram
+    occurs in >= ``min_docs`` documents corpus-wide.
+
+    Scale shape: the corpus-duplicated gram set is computed hash-keyed
+    (see :func:`substring_dup_passages`, here without the exemplar so
+    the dup-set shuffle carries (hash, count) only); the per-position
+    stream carries (doc_id, hash) — 16 bytes/row — into a hash-keyed
+    left-semi-style join (AQE broadcasts the dup set when small,
+    sort-merges co-partitioned on the hash otherwise), then one
+    doc-keyed count.  Nothing ever shuffles gram strings."""
+    from m3spark.ops.phash import portable_hash60
+
+    def h(c):
+        return (portable_hash60(F.col(c)) if hash_fn == "portable"
+                else F.xxhash64(c))
+
+    dup = (_doc_grams(df, id_col, text_col, n, distinct_per_doc=True)
+           .select(h("gram").alias("gram_hash"))
+           .groupBy("gram_hash")
+           .agg(F.count(F.lit(1)).alias("_nd"))
+           .where(F.col("_nd") >= min_docs)
+           .select("gram_hash"))
+    pos = (_doc_grams(df, id_col, text_col, n, distinct_per_doc=False)
+           .select("_id", h("gram").alias("gram_hash")))
+    marked = pos.join(dup.withColumn("_dup", F.lit(1)),
+                      "gram_hash", "left")
+    return (marked.groupBy(F.col("_id").alias("doc_id"))
+                  .agg(F.count(F.lit(1)).alias("n_grams"),
+                       F.count("_dup").alias("n_dup_grams"))
+                  .select("doc_id", "n_grams", "n_dup_grams",
+                          F.round(F.col("n_dup_grams")
+                                  / F.col("n_grams"), 6)
+                           .alias("dup_fraction")))

@@ -336,3 +336,38 @@ def test_dedup_clusters_dirty_input(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in dedup_clusters(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_substring_dup_hashed_key_twins(spark):
+    """r7: the aggregate is keyed on the 8-byte gram hash; the
+    xxhash64 production twin and the portable (oracle) twin must agree
+    on every (gram, n_docs) — only the key values differ."""
+    from m3spark.ops.dedup import substring_dup_passages
+
+    rows = [(1, "a b c d e"), (2, "a b c d f"), (3, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fast = {(r["gram"], r["n_docs"])
+            for r in substring_dup_passages(df, "doc_id", "text",
+                                            n=4).collect()}
+    port = {(r["gram"], r["n_docs"])
+            for r in substring_dup_passages(df, "doc_id", "text", n=4,
+                                            hash_fn="portable").collect()}
+    assert fast == port == {("a b c d", 3), ("b c d e", 2)}
+
+
+def test_substring_dup_fraction(spark):
+    """Per-doc duplicate-passage fraction counts gram POSITIONS whose
+    gram is corpus-duplicated; within-doc repeats of a duplicated gram
+    all count, but within-doc-only repeats do not create dups."""
+    from m3spark.ops.dedup import substring_dup_fraction
+
+    rows = [(1, "a b c d x"),            # grams: 'a b c'(dup) 'b c d'(dup) 'c d x'
+            (2, "a b c d y"),            # 'a b c'(dup) 'b c d'(dup) 'c d y'
+            (3, "q q q q q")]            # 'q q q' x3 positions, one doc only
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_fraction"])
+           for r in substring_dup_fraction(df, "doc_id", "text",
+                                           n=3).collect()}
+    assert out[1] == (3, 2, round(2 / 3, 6))
+    assert out[2] == (3, 2, round(2 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
