@@ -481,11 +481,14 @@ def q_minhash_pairs_documents(spark, sf_dir):
 def q_minhash_pairs_fast(spark, sf_dir):
     """Production MinHash+LSH: xxhash64 signatures (single JVM codegen
     op per shingle-hash, no md5) — identical plan shape to the portable
-    twin.  Rows-only at the DRIVER gate (its plain-SQL DuckDB has no
-    xxhash64), but fully value-checked locally: tools/check_oracles.py
-    registers the pure-Python XXH64 mirror (m3spark/ops/xxh64.py,
-    JVM-parity pinned by tests/test_xxh64.py) as a DuckDB scalar UDF
-    and replays the whole shingle->minhash->band->join pipeline."""
+    twin.  FULLY oracle-checked at the driver gate since r7: the
+    plain-SQL oracle joins a precomputed signature fixture
+    (fixtures/minhash_sigs_sf0.01.parquet, regenerated by
+    tools/gen_minhash_fixture.py from the parquet text in pure Python
+    via the JVM-parity-pinned XXH64 mirror, tests/test_xxh64.py) and
+    replays banding -> candidate join -> agreement in SQL.
+    tools/check_oracles.py additionally keeps the fixture-free DuckDB
+    scalar-UDF replay of the whole pipeline as a second local check."""
     from m3spark.ops import minhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1651,6 +1654,40 @@ def oracle_sql() -> dict[str, str]:
                      CAST(('0x' || substr(md5(string_agg(hv::VARCHAR, ','
                                                          ORDER BY j)),
                                           1, 15)) AS BIGINT) AS bucket
+              FROM hs GROUP BY doc_id, band),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bandkey a JOIN bandkey b
+                ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+            agree AS (
+              SELECT c.id_a, c.id_b,
+                     SUM(CASE WHEN ha.hv = hb.hv THEN 1 ELSE 0 END) AS n_eq
+              FROM cand c
+              JOIN hs ha ON ha.doc_id = c.id_a
+              JOIN hs hb ON hb.doc_id = c.id_b AND hb.j = ha.j
+              GROUP BY c.id_a, c.id_b)
+            SELECT id_a, id_b, ROUND(n_eq / 32.0, 6) AS est_jaccard
+            FROM agree
+        """,
+        # r7: closes the last no_oracle row.  Plain SQL over a
+        # PRECOMPUTED SIGNATURE FIXTURE: tools/gen_minhash_fixture.py
+        # recomputes every per-(doc, salt) min-hash from the sf0.01
+        # text in pure Python (independent shingling + the
+        # JVM-parity-pinned XXH64 mirror, tests/test_xxh64.py) — no
+        # Spark involved — and the banding -> candidate-join ->
+        # agreement pipeline runs here in SQL.  The band key is the
+        # comma-joined signature slice, equality-equivalent to Spark's
+        # xxhash64 bucket.  Regenerate the fixture after any testdata
+        # refresh (command in the script docstring).
+        "minhash_pairs_fast": """
+            WITH hs AS (
+              SELECT doc_id, j, hv
+              FROM read_parquet(
+                '/root/repo/fixtures/minhash_sigs_sf0.01.parquet')),
+            bandkey AS (
+              SELECT doc_id, (j // 4) AS band,
+                     string_agg(hv::VARCHAR, ',' ORDER BY j) AS bucket
               FROM hs GROUP BY doc_id, band),
             cand AS (
               SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

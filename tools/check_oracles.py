@@ -121,7 +121,9 @@ def main():
                         ["VARCHAR"], "BIGINT")
 
     qs = entrymod.queries()
-    oracles = {**entrymod.oracle_sql(), **UDF_ORACLES}
+    # real (driver-visible) oracles take precedence; the UDF twin
+    # remains a fallback for queries with no plain-SQL oracle
+    oracles = {**UDF_ORACLES, **entrymod.oracle_sql()}
     only = sys.argv[1:] or list(qs)
     n_fail = 0
     for name in only:
