@@ -193,14 +193,38 @@ def q_val_lineitem(spark, sf_dir):
 
 
 def q_val_events_props(spark, sf_dir):
-    """Nested-JSON validation through the Arrow-batched interpreter
-    (type/required/bounds on a JSON payload column) — §2.3/2.4."""
-    from m3spark.sparkval import validate_json
+    """Nested-JSON validation (type/required/bounds on the parsed
+    props payload) PLUS an adversarial format:date field — 0-shuffle
+    0-Python since r7: `date` now compiles to the closed-form JVM
+    calendar predicate (compiler._date_pred: anchored shape +
+    days-in-month/leap bound), so this query exercises real calendar
+    rejection (month 0/13, day 0/32+, Feb-29 across leap and
+    non-leap-century years) entirely inside whole-stage codegen.  The
+    date candidate is built deterministically from event columns
+    (year 1900+event_id%200 covers 1900/2000 century rules; month
+    user_id%14 covers 0 and 13; day k covers 0 and >31); the oracle
+    checks it with DuckDB's own TRY_CAST(.. AS DATE) — an independent
+    date implementation, not a mirror of ours.  (The Arrow
+    interpreter this query demonstrated through r6 stays pinned by
+    the 11k-assertion corpus + engine-parity suites.)"""
+    from m3spark.columnar import ColumnarValidator
 
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", F.col("props").alias("doc"))
-    out = validate_json(ev, EVENT_PROPS_SCHEMA, format_assertion=True)
-    return out.select("event_id", "valid")
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        F.format_string(
+            "%04d-%02d-%02d",
+            (F.lit(1900) + F.col("event_id") % 200).cast("int"),
+            (F.col("user_id") % 14).cast("int"),
+            F.from_json("props", "k INT").getField("k").cast("int"),
+        ).alias("d"))
+    cv = ColumnarValidator(
+        {"type": "object", "required": ["k", "d"],
+         "properties": {"k": {"type": "integer", "minimum": 0,
+                              "exclusiveMaximum": 50},
+                        "d": {"type": "string", "format": "date"}}},
+        format_assertion=True)
+    return cv.apply(ev).select("event_id", "valid")
 
 
 def q_val_events_props_struct(spark, sf_dir):
@@ -1258,13 +1282,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM li WHERE l_tax IS NOT NULL AND NOT (l_tax <= 0.05)
             ) ORDER BY line_id, keyword
         """,
+        # the date leg uses DuckDB's own TRY_CAST(.. AS DATE): an
+        # independent calendar implementation checking the JVM
+        # closed-form days-in-month/leap predicate
         "val_events_props": """
             SELECT event_id,
                    COALESCE(
-                     k IS NOT NULL AND k >= 0 AND k < 50, FALSE) AS valid
+                     k IS NOT NULL AND k >= 0 AND k < 50
+                     AND TRY_CAST(printf('%04d-%02d-%02d', y, m, k)
+                                  AS DATE) IS NOT NULL, FALSE) AS valid
             FROM (SELECT event_id,
                          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
-                           AS k
+                           AS k,
+                         1900 + event_id % 200 AS y,
+                         user_id % 14 AS m
                   FROM events)
         """,
         "val_events_props_struct": """

@@ -186,12 +186,41 @@ def _uri_pred(col: Column) -> Column:
     return charset_ok & pct_ok & auth_ok
 
 
+def _date_pred(col: Column) -> Column:
+    """format:date as pure JVM expressions (r7) — a regex alone cannot
+    express month lengths / leap years, but a closed-form
+    days-in-month bound can, so `date` leaves the Arrow checker path
+    and joins whole-stage codegen.  Mirrors
+    m3spark.schema.formats.check_date exactly: anchored
+    \\d{4}-\\d{2}-\\d{2} shape, year >= 1 (date.fromisoformat rejects
+    0000), month 1-12, day 1..days-in-month with the Gregorian leap
+    rule.  Agreement pinned by the adversarial battery in
+    tests/test_columnar_exactness.py::test_date_pred_matches_checker."""
+    # \z, not $: Java's $ also matches just before a trailing newline
+    shape_ok = col.rlike(r"^\d{4}-\d{2}-\d{2}\z")
+    y = F.substring(col, 1, 4).cast("int")
+    m = F.substring(col, 6, 2).cast("int")
+    d = F.substring(col, 9, 2).cast("int")
+    leap = (((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0))
+    dim = (F.when(m.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
+            .when(m.isin(4, 6, 9, 11), F.lit(30))
+            .when(m == 2, F.when(leap, F.lit(29)).otherwise(F.lit(28)))
+            .otherwise(F.lit(0)))
+    return F.when(shape_ok,
+                  (y >= 1) & (m >= 1) & (m <= 12) & (d >= 1) & (d <= dim)
+                  ).otherwise(F.lit(False))
+
+
 def _format_pred(fmt: str) -> Callable[[Column, T.DataType], Column]:
     # builders tagged _jvm=False use pandas UDFs, which cannot run inside
     # higher-order-function lambdas (nested array/struct compilation
     # rejects them)
     if fmt == "uri":
         fn = lambda col, dt: _uri_pred(col)  # noqa: E731
+        fn._jvm = True
+        return fn
+    if fmt == "date":
+        fn = lambda col, dt: _date_pred(col)  # noqa: E731
         fn._jvm = True
         return fn
     rx = SPARK_RLIKE.get(fmt)

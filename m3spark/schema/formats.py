@@ -389,10 +389,12 @@ FORMATS: dict[str, "callable"] = {
 
 # Formats whose semantics survive a single anchored Java regex — used by the
 # columnar engine's JVM rlike fast path.  Anything not here goes through the
-# Arrow-batched pandas-UDF path.  NOT here (would diverge from the Python
-# checkers): `date` (a regex can't express month lengths / leap years, so
-# 2024-02-30 would pass rlike but fail check_date) and `hostname` (253-char
-# total limit + punycode label decode).
+# Arrow-batched pandas-UDF path, EXCEPT `uri` and (since r7) `date`, which
+# get dedicated multi-expression JVM builders in the columnar compiler
+# (_uri_pred / _date_pred — a single regex can't express month lengths /
+# leap years, but a closed-form days-in-month bound can).  Still
+# checker-routed: `hostname` (253-char total limit + punycode label
+# decode — legitimately non-regex).
 SPARK_RLIKE: dict[str, str] = {
     "uuid": "^" + _UUID_PATTERN + "$",
     "json-pointer": "^" + _JSON_POINTER_PATTERN + "$",

@@ -212,3 +212,33 @@ def test_array_literal_exact_equality_paths(spark):
            "c array<bigint>",
            [[1, 2], [1, 3], None],
            [True, False, True])
+
+
+DATE_BATTERY = [
+    # valid
+    "2024-02-29", "2000-02-29", "1999-12-31", "0001-01-01", "2024-01-31",
+    "2023-06-30", "9999-12-31", "2024-08-18",
+    # invalid calendar dates that PASS the shape regex
+    "2023-02-29", "1900-02-29", "2100-02-29", "2024-02-30", "2024-04-31",
+    "2024-06-31", "2024-09-31", "2024-11-31", "2024-00-10", "2024-13-01",
+    "2024-01-00", "2024-01-32", "0000-01-01",
+    # shape failures
+    "2024-1-01", "24-01-01", "2024-01-1", "2024/01/01", "20240101",
+    "2024-01-01T00:00:00Z", " 2024-01-01", "2024-01-01 ", "", "abcd-ef-gh",
+    "２０２４-01-01",  # fullwidth digits (\\d in Java rlike is ASCII-only)
+    "+024-01-01", "2024-01-01\n",
+]
+
+
+def test_date_pred_matches_checker(spark):
+    """r7: format:date leaves the Arrow checker path for a closed-form
+    JVM predicate (anchored shape + days-in-month/leap bound); this
+    adversarial battery pins bit-parity with formats.check_date."""
+    from m3spark.columnar.compiler import _date_pred
+    from m3spark.schema.formats import check_date
+    df = spark.createDataFrame([(s,) for s in DATE_BATTERY], "s string")
+    got = {r["s"]: bool(r["ok"]) for r in
+           df.select("s", _date_pred(F.col("s")).alias("ok")).collect()}
+    mism = [(s, {"python": check_date(s), "columnar": got[s]})
+            for s in DATE_BATTERY if got[s] != check_date(s)]
+    assert not mism, f"date disagreement: {mism}"

@@ -27,10 +27,13 @@ EXPECTED_SHUFFLES = {
     "minhash_pairs_fast",
     "lsh_ann_embeddings", "ann_ivf_embeddings", "pages_validate",
     "hll_stats_events", "dedup_embedding_lsh",
-    "dedup_substring_documents",
+    "dedup_substring_documents", "dedup_passage_fraction_documents",
+    # connected components: per-round keyed window + distinct (the
+    # audited plan is the post-fixpoint labels read, already collapsed)
+    "dedup_clusters_documents",
 }
 # queries that legitimately cross into Python (Arrow-batched)
-EXPECTED_PYTHON = {"val_events_props", "multimodal_features",
+EXPECTED_PYTHON = {"multimodal_features",
                    "multimodal_image_headers",
                    # vectorized matmul LSH hashing (lsh_buckets_arrow)
                    "dedup_embedding_lsh", "lsh_ann_embeddings",
