@@ -65,6 +65,97 @@ class EcmaUnsupported(re.error):
     """Pattern uses a construct with no exact Python/Java equivalent."""
 
 
+_QUANT_RE = re.compile(r"([?*+]|\{\d+(?:,\d*)?\})(\??)")
+
+
+def _read_quant(pattern: str, i: int):
+    """Parse a quantifier at ``i`` -> (min, max, lazy, end) or None;
+    max=None means unbounded.  Raises for min > max (ECMA error)."""
+    m = _QUANT_RE.match(pattern, i)
+    if not m:
+        return None
+    tok, lazy = m.group(1), bool(m.group(2))
+    if tok == "?":
+        lo, hi = 0, 1
+    elif tok == "*":
+        lo, hi = 0, None
+    elif tok == "+":
+        lo, hi = 1, None
+    else:
+        body = tok[1:-1]
+        if "," in body:
+            a, b = body.split(",")
+            lo, hi = int(a), (int(b) if b else None)
+        else:
+            lo = hi = int(body)
+    if hi is not None and hi < lo:
+        raise re.error("min repeat greater than max repeat")
+    return lo, hi, lazy, m.end()
+
+
+def _astral_atom(pattern: str, i_after: int, cp: int, flavor: str):
+    """(translated, new_index) for an astral LITERAL in concatenation
+    position, including any quantifier that follows it.
+
+    ECMA non-u patterns are interpreted over UTF-16 CODE UNITS: the
+    literal is two unit atoms hi,lo and a quantifier binds only the
+    trailing LOW surrogate (the classic `/💩{2}/` never matches
+    "💩💩").  Python/Java both quantify the composed code point, so
+    the unit language hi·lo{m,n} is rewritten explicitly:
+
+        m == 0:  (?:HI|PAIR·LO{0,n-1})      (zero reps leave a lone hi)
+        m >= 1:  PAIR·LO{m-1,n-1}
+
+    where HI/LO are lone-surrogate atoms.  In Python, strings really
+    can contain lone surrogates (JSON \\uD800 escapes), and a
+    well-formed JS unit sequence hi lo lo... maps to the Python code
+    points PAIR lo lo... — so the rewrite is exact there.  In Java,
+    lone-surrogate atoms simply never match the well-formed UTF-16
+    that Spark's UTF-8 data decodes to, which collapses the same
+    rewrite to the exact verdict (pair present for m <= 1 <= n,
+    unmatchable otherwise).  Closes enumerated ECMA residual #3."""
+    if flavor == "java":
+        pair, hi_e, lo_e = ("\\x{%x}" % cp,
+                            "\\x{%x}" % (0xD800 + ((cp - 0x10000) >> 10)),
+                            "\\x{%x}" % (0xDC00 + ((cp - 0x10000) & 0x3FF)))
+    else:
+        pair, hi_e, lo_e = ("\\U%08x" % cp,
+                            "\\u%04x" % (0xD800 + ((cp - 0x10000) >> 10)),
+                            "\\u%04x" % (0xDC00 + ((cp - 0x10000) & 0x3FF)))
+    q = _read_quant(pattern, i_after)
+    if q is None:
+        return pair, i_after
+    lo_n, hi_n, lazy, end = q
+    laz = "?" if lazy else ""
+
+    def lo_rep(mn: int, mx: int | None) -> str:
+        # LO{mn,mx} suffix (already shifted by -1), simplified
+        if mx == 0:
+            return ""
+        if mx is None:
+            if mn == 0:
+                return lo_e + "*" + laz
+            if mn == 1:
+                return lo_e + "+" + laz
+            return lo_e + "{%d,}" % mn + laz
+        if mn == mx:
+            return lo_e if mn == 1 else lo_e + "{%d}" % mn
+        if (mn, mx) == (0, 1):
+            return lo_e + "?" + laz
+        return lo_e + "{%d,%d}" % (mn, mx) + laz
+
+    if lo_n == 0:
+        if hi_n == 0:  # {0}: zero reps of the LOW unit — a lone hi
+            return hi_e, end
+        body = pair + lo_rep(0, None if hi_n is None else hi_n - 1)
+        return "(?:%s|%s)" % (hi_e, body), end
+    return pair + lo_rep(lo_n - 1, None if hi_n is None else hi_n - 1), end
+
+
+_HI_SUR = re.compile(r"\\u([Dd][89AaBb][0-9A-Fa-f]{2})")
+_LO_SUR = re.compile(r"\\u([Dd][C-Fc-f][0-9A-Fa-f]{2})")
+
+
 def _count_captures(pattern: str) -> int:
     """Capturing-group count (plain ``(`` + named groups), class-aware —
     decides whether a decimal escape is a backreference or Annex-B
@@ -172,13 +263,44 @@ def translate(pattern: str, flavor: str = "python") -> str:
                 m = re.match(r"\\u\{([0-9A-Fa-f]{1,6})\}", pattern[i:])
                 if m:
                     cp = int(m.group(1), 16)
+                    if cp > 0xFFFF:
+                        if in_class:
+                            raise EcmaUnsupported(
+                                "astral code point in a character class "
+                                "has unit-level ECMA semantics with no "
+                                "exact host translation")
+                        rep, ni = _astral_atom(pattern, i + m.end(),
+                                               cp, flavor)
+                        out.append(rep)
+                        i = ni
+                        continue
                     if flavor == "java":
                         out.append("\\x{%x}" % cp)
                     else:
-                        out.append("\\U%08x" % cp if cp > 0xFFFF
-                                   else "\\u%04x" % cp)
+                        out.append("\\u%04x" % cp)
                     i += m.end()
                     continue
+                # adjacent surrogate-pair escapes 😀: two ECMA
+                # unit atoms forming a pair — same unit language as a
+                # raw astral literal, so route through _astral_atom
+                # (hosts would otherwise compose or mis-quantify them)
+                mh = _HI_SUR.match(pattern, i)
+                if mh:
+                    ml = _LO_SUR.match(pattern, i + 6)
+                    if ml:
+                        hi_v = int(mh.group(1), 16)
+                        lo_v = int(ml.group(1), 16)
+                        cp = (0x10000 + ((hi_v - 0xD800) << 10)
+                              + (lo_v - 0xDC00))
+                        if in_class:
+                            raise EcmaUnsupported(
+                                "astral code point in a character class "
+                                "has unit-level ECMA semantics with no "
+                                "exact host translation")
+                        rep, ni = _astral_atom(pattern, i + 12, cp, flavor)
+                        out.append(rep)
+                        i = ni
+                        continue
                 if not re.match(r"\\u[0-9A-Fa-f]{4}", pattern[i:]):
                     out.append("u")  # Annex B identity escape
                     i += 2
@@ -209,6 +331,11 @@ def translate(pattern: str, flavor: str = "python") -> str:
                 i += 1
             continue
         if in_class:
+            if ord(ch) > 0xFFFF:
+                raise EcmaUnsupported(
+                    "astral code point in a character class has "
+                    "unit-level ECMA semantics with no exact host "
+                    "translation")
             if ch == "]":
                 in_class = False
             elif ch == "-" and re.match(r"\\[dDsSwW]",
@@ -273,6 +400,12 @@ def translate(pattern: str, flavor: str = "python") -> str:
         if ch == "$":
             out.append(dollar)
             i += 1
+            continue
+        if ord(ch) > 0xFFFF:
+            # raw astral literal: two ECMA unit atoms (see _astral_atom)
+            rep, ni = _astral_atom(pattern, i + 1, ord(ch), flavor)
+            out.append(rep)
+            i = ni
             continue
         out.append(ch)
         i += 1

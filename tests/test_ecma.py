@@ -210,3 +210,71 @@ def test_lone_surrogate_escape():
     rx = compile_ecma(r"\ud800")
     assert rx.search("\ud800") is not None
     assert rx.search("a") is None
+
+
+# ---- r7: astral literals under quantifiers (ECMA residual #3) ----
+# ECMA non-u patterns are interpreted over UTF-16 units: a quantifier
+# after an astral literal binds only the trailing LOW surrogate (the
+# classic /💩{2}/ never matches "💩💩").  Expectations below are the
+# spec unit semantics, hand-derived.
+
+ASTRAL_SEMANTICS = [
+    ("😀", "😀", True),
+    ("😀", "x😀y", True),
+    ("😀", "🙄", False),
+    ("😀{2}", "😀😀", False),          # needs hi lo lo — not hi lo hi lo
+    ("😀{1}", "😀", True),
+    ("😀+", "😀😀", True),             # one rep of lo suffices
+    ("^😀+$", "😀😀", False),
+    ("^😀+$", "😀", True),
+    ("😀?", "x", False),               # hi is NOT optional
+    ("😀*", "abc", False),
+    ("😀{2,}", "😀", False),
+    ("😀{0,3}", "😀", True),
+    ("a😀{1,2}b", "a😀b", True),
+    ("a😀{1,2}b", "a😀😀b", False),
+    ("😀{0}x", "😀x", False),          # zero reps leave a lone hi atom
+    ("\\uD83D\\uDE00", "😀", True),    # escape pair == raw literal
+    ("\\uD83D\\uDE00{2}", "😀😀", False),
+    ("\\u{1F600}{2}", "😀😀", False),
+    ("😀+?", "😀😀", True),            # lazy variant, same language
+]
+
+
+def test_astral_quantifier_python_semantics():
+    """compile_ecma applies ECMA unit semantics, including on strings
+    that really contain lone surrogates (JSON \\uD800 escapes)."""
+    for pat, s, want in ASTRAL_SEMANTICS:
+        rx = compile_ecma(pat)
+        assert (rx.search(s) is not None) == want, (pat, s, want)
+    # lone-surrogate inputs: hi lo lo maps to PAIR + lone-lo in Python
+    assert compile_ecma("😀{2}").search("😀\ude00")
+    assert compile_ecma("😀{0}x").search("\ud83dx")
+
+
+def test_astral_quantifier_jvm_agreement(spark):
+    """Java rlike on the translated pattern agrees with compile_ecma on
+    every (well-formed) astral probe."""
+    probes = sorted({s for _, s, _ in ASTRAL_SEMANTICS})
+    df = spark.createDataFrame([(s,) for s in probes], "s string")
+    mism = []
+    for pat in sorted({p for p, _, _ in ASTRAL_SEMANTICS}):
+        jp = java_pattern(pat)
+        got = {r["s"]: bool(r["ok"]) for r in
+               df.select("s", F.col("s").rlike(jp).alias("ok")).collect()}
+        mism += [(pat, s, got[s]) for s in probes
+                 if got[s] != (compile_ecma(pat).search(s) is not None)]
+    assert not mism, mism
+
+
+def test_astral_in_class_classified():
+    """Astral code points inside a character class keep unit-level
+    ECMA semantics no host engine can reproduce exactly — classified
+    EcmaUnsupported (pattern ignored / format:regex invalid), never a
+    silently wrong verdict."""
+    from m3spark.schema.ecma import is_ecma_regex
+    for pat in ("[😀]", "[\\uD83D\\uDE00]", "[\\u{1F600}]", "[a😀]"):
+        assert not is_ecma_regex(pat), pat
+    # BMP classes and standalone astral atoms are unaffected
+    assert is_ecma_regex("[\\u0041-\\u005A]")
+    assert is_ecma_regex("\\u{1F600}")
