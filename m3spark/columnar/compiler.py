@@ -323,10 +323,12 @@ class ColumnarValidator:
         # such schemas to the interp rather than over-enforce
         if isinstance(schema, dict):
             s_uri = schema.get("$schema")
-            if isinstance(s_uri, str)                     and s_uri.rstrip("#") not in _SCHEMA_URI_TO_DRAFT:
+            if (isinstance(s_uri, str)
+                    and s_uri.rstrip("#") not in _SCHEMA_URI_TO_DRAFT):
                 meta = (self.registry.get(s_uri)
                         or self.registry.get(s_uri.rstrip("#")))
-                if isinstance(meta, dict)                         and isinstance(meta.get("$vocabulary"), dict):
+                if (isinstance(meta, dict)
+                        and isinstance(meta.get("$vocabulary"), dict)):
                     raise UnsupportedKeyword(
                         "custom $vocabulary dialect restricts active "
                         "keywords; use m3spark.sparkval.validate_json")

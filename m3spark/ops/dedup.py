@@ -81,7 +81,10 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     loop over corpora should call
     ``result.cached_shingles.unpersist()`` once the returned plan has
     been consumed (targeted release; ``spark.catalog.clearCache()``
-    would drop unrelated caches too).
+    would drop unrelated caches too).  NOTE: the attribute lives only
+    on the DataFrame object returned HERE — any further
+    transformation (``.where``/``.select``/...) returns a new
+    DataFrame without it, so grab the handle before deriving plans.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window

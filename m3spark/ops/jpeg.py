@@ -370,6 +370,11 @@ def _prog_scan(raw, pos, frame, coefs, scan_ids, sel, huff_dc, huff_ac,
     w, h, comps = frame
     if ss > se or se > 63 or al > 13 or (ss == 0) != (se == 0):
         return None
+    if ah and ah != al + 1:
+        # successive approximation requires Ah == Al + 1 for refinement
+        # scans (T.81 G.1.1.1.2) — anything else is malformed and must
+        # take the declared-unsupported None path, not decode wrongly
+        return None
     byid = {c["id"]: ci for ci, c in enumerate(comps)}
     idxs = []
     for cid in scan_ids:

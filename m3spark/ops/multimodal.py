@@ -361,7 +361,13 @@ def _wav_chunks(raw: bytes):
         ln = int.from_bytes(raw[i + 4:i + 8], "little")
         data = raw[i + 8:i + 8 + ln]
         if len(data) < ln:
-            return  # truncated chunk
+            # declared length exceeds the bytes present (streaming-style
+            # WAVs write a placeholder size): clamp the final chunk to
+            # what is actually there — size fields are NOT trusted
+            # (tolerant decode, r6 advice), truncation never drops the
+            # whole chunk
+            yield cid, data
+            return
         yield cid, data
         i += 8 + ln + (ln & 1)  # chunks are word-aligned (RIFF spec)
 

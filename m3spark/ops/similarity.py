@@ -104,6 +104,11 @@ def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
                      array_to_vector(F.col(vec_col)).alias("_feat"))
     train = feat if train_fraction >= 1.0 else feat.sample(
         fraction=train_fraction, seed=seed)
+    if train_fraction < 1.0 and \
+            train.limit(n_clusters).count() < n_clusters:
+        # a thin sample can undershoot k and crash KMeans.fit —
+        # fall back to full-data training (r6 advice)
+        train = feat
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_feat",
                    predictionCol="_cluster").fit(train.select("_feat"))
     assigned = model.transform(feat).select(id_col, vec_col, "_cluster")
@@ -112,8 +117,12 @@ def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
         [(i, [float(x) for x in c])
          for i, c in enumerate(model.clusterCenters())],
         "_cid int, _cv array<double>")
-    qsim = _dot(F.col(q_vec_col), F.col("_cv")) / (
-        _norm(F.col(q_vec_col)) * _norm(F.col("_cv")))
+    # zero-norm guard (r6 advice): cosine against a zero vector is
+    # undefined — emit NULL (orderBy ... desc ranks nulls last) instead
+    # of NaN, which would silently perturb probe/rank ordering
+    qsim = F.when((_norm(F.col(q_vec_col)) > 0) & (_norm(F.col("_cv")) > 0),
+                  _dot(F.col(q_vec_col), F.col("_cv")) / (
+                      _norm(F.col(q_vec_col)) * _norm(F.col("_cv"))))
     probe = (queries_df.crossJoin(F.broadcast(centers))
              .withColumn("_r", F.row_number().over(
                  Window.partitionBy(q_id_col)
@@ -122,8 +131,9 @@ def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
              .select(q_id_col, q_vec_col, F.col("_cid")))
     cand = assigned.join(F.broadcast(probe),
                          assigned["_cluster"] == probe["_cid"])
-    cos = _dot(F.col(q_vec_col), F.col(vec_col)) / (
-        _norm(F.col(q_vec_col)) * _norm(F.col(vec_col)))
+    cos = F.when((_norm(F.col(q_vec_col)) > 0) & (_norm(F.col(vec_col)) > 0),
+                 _dot(F.col(q_vec_col), F.col(vec_col)) / (
+                     _norm(F.col(q_vec_col)) * _norm(F.col(vec_col))))
     ranked = (cand.select(q_id_col, id_col, F.round(cos, 6).alias("cosine"))
               .withColumn("rank", F.row_number().over(
                   Window.partitionBy(q_id_col)
