@@ -936,8 +936,47 @@ _ADAM_L = (
     f"(2 + if({_PXW} > 2, 2, 0) + if({_PXH} > 2, 1 + {_CW2}, 0)"
     f" + if({_FW2} > 0, {_CH2H} * (1 + {_FW2}), 0)"
     f" + {_FH2} * (1 + {_PXW}))")
+# r7 additions: doc_id%11==7 -> 4-bit grayscale (MSB-first packed
+# nibbles, value doc_id%16 everywhere: full bytes are v*17, an odd
+# trailing nibble is v*16 with zero padding bits); doc_id%11==2 ->
+# 2-bit palette (PLTE entries (50j+5, 50j+25, 50j+45), constant index
+# doc_id%4: the packed row byte is idx*85 masked to the top 2w bits).
+# Both still stored-deflate with dummy adler/CRCs.
+_PX4V = "CAST(doc_id % 16 AS INT)"
+_PX4_PAIR = f"lpad(hex({_PX4V} * 17), 2, '0')"
+_PX4_TAIL = f"lpad(hex({_PX4V} * 16), 2, '0')"
+_PX4_ROW = (f"concat('00', repeat({_PX4_PAIR}, {_FW2}),"
+            f" if({_PXW} % 2 = 1, {_PX4_TAIL}, ''))")
+_PX4L = f"({_PXH} * (1 + {_CW2}))"
+_P2IDX = "CAST(doc_id % 4 AS INT)"
+_P2BYTE = (f"lpad(hex(CAST({_P2IDX} * 85 AS INT) & "
+           f"(CASE {_PXW} WHEN 1 THEN 192 WHEN 2 THEN 240"
+           f" WHEN 3 THEN 252 ELSE 255 END)), 2, '0')")
+_P2L = f"({_PXH} * 2)"
+_P2_PLTE = "'0000000C504C544505192D374B5F697D919BAFC300000000'"
 PIXEL_PNG_HEX_SQL = f"""
 if(doc_id % 13 = 0, '89504E470D0A1A0A0000',
+if(doc_id % 11 = 7,
+concat('89504E470D0A1A0A', '0000000D49484452',
+       lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
+       '04', '00', '000000', '00000000',
+       '000000', lpad(hex({_PX4L} + 11), 2, '0'), '49444154',
+       '7801', '01', lpad(hex({_PX4L}), 2, '0'), '00',
+       lpad(hex(255 - {_PX4L}), 2, '0'), 'FF',
+       repeat({_PX4_ROW}, {_PXH}),
+       '00000000', '00000000',
+       '0000000049454E44AE426082'),
+if(doc_id % 11 = 2,
+concat('89504E470D0A1A0A', '0000000D49484452',
+       lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
+       '02', '03', '000000', '00000000',
+       {_P2_PLTE},
+       '000000', lpad(hex({_P2L} + 11), 2, '0'), '49444154',
+       '7801', '01', lpad(hex({_P2L}), 2, '0'), '00',
+       lpad(hex(255 - {_P2L}), 2, '0'), 'FF',
+       repeat(concat('00', {_P2BYTE}), {_PXH}),
+       '00000000', '00000000',
+       '0000000049454E44AE426082'),
 if(doc_id % 11 = 3,
 concat('89504E470D0A1A0A', '0000000D49484452',
        lpad(hex({_PXW}), 8, '0'), lpad(hex({_PXH}), 8, '0'),
@@ -966,7 +1005,7 @@ concat('89504E470D0A1A0A', '0000000D49484452',
        lpad(hex(255 - {_PX_L}), 2, '0'), 'FF',
        repeat(concat('00', repeat({_PX_HEX}, {_PXW})), {_PXH}),
        '00000000', '00000000',
-       '0000000049454E44AE426082'))))"""
+       '0000000049454E44AE426082'))))))"""
 
 
 # full-pixel JPEG battery (r6): complete BASELINE JPEG files in closed
@@ -2034,31 +2073,48 @@ def oracle_sql() -> dict[str, str]:
                      (doc_id % 2 = 0) AS gray,
                      (doc_id % 13 = 0) AS bad,
                      (doc_id % 13 <> 0 AND doc_id % 11 = 3) AS d16,
-                     (doc_id % 13 <> 0 AND doc_id % 11 = 5) AS adam
+                     (doc_id % 13 <> 0 AND doc_id % 11 = 5) AS adam,
+                     (doc_id % 13 <> 0 AND doc_id % 11 = 7) AS d4,
+                     (doc_id % 13 <> 0 AND doc_id % 11 = 2) AS p2,
+                     CAST(doc_id % 16 AS INT) AS v4,
+                     CAST(50 * (doc_id % 4) AS INT) AS pbase
               FROM documents)
             SELECT doc_id,
               CASE WHEN bad THEN NULL ELSE w END AS width,
               CASE WHEN bad THEN NULL ELSE h END AS height,
-              CASE WHEN bad THEN NULL WHEN d16 OR adam OR gray THEN 1
+              CASE WHEN bad THEN NULL
+                   WHEN d16 OR adam OR d4 THEN 1
+                   WHEN p2 THEN 3
+                   WHEN gray THEN 1
                    ELSE 3 END AS channels,
               CAST(CASE WHEN bad THEN NULL WHEN d16 THEN v16
+                   WHEN d4 THEN v4 WHEN p2 THEN pbase + 5
                    WHEN adam OR gray THEN v
                    ELSE least(v, v1, v2) END AS INT) AS px_min,
               CAST(CASE WHEN bad THEN NULL WHEN d16 THEN v16
+                   WHEN d4 THEN v4 WHEN p2 THEN pbase + 45
                    WHEN adam OR gray THEN v
                    ELSE greatest(v, v1, v2) END AS INT) AS px_max,
               CASE WHEN bad THEN NULL
                    WHEN d16 THEN round(CAST(v16 AS DOUBLE), 6)
+                   WHEN d4 THEN round(CAST(v4 AS DOUBLE), 6)
+                   WHEN p2 THEN round(CAST(pbase + 25 AS DOUBLE), 6)
                    WHEN adam OR gray THEN round(CAST(v AS DOUBLE), 6)
                    ELSE round((h * w * (v + v1 + v2))
                               / CAST(h * w * 3 AS DOUBLE), 6) END
                 AS px_mean,
               CASE WHEN bad THEN NULL
                    WHEN d16 THEN round(CAST(v16 AS DOUBLE), 6)
+                   WHEN d4 THEN round(CAST(v4 AS DOUBLE), 6)
+                   WHEN p2 THEN round(CAST(pbase + 5 AS DOUBLE), 6)
                    ELSE round(CAST(v AS DOUBLE), 6) END AS ch0_mean,
-              CASE WHEN bad OR d16 OR adam OR gray THEN NULL
+              CASE WHEN bad OR d16 OR adam OR d4 THEN NULL
+                   WHEN p2 THEN round(CAST(pbase + 25 AS DOUBLE), 6)
+                   WHEN gray THEN NULL
                    ELSE round(CAST(v1 AS DOUBLE), 6) END AS ch1_mean,
-              CASE WHEN bad OR d16 OR adam OR gray THEN NULL
+              CASE WHEN bad OR d16 OR adam OR d4 THEN NULL
+                   WHEN p2 THEN round(CAST(pbase + 45 AS DOUBLE), 6)
+                   WHEN gray THEN NULL
                    ELSE round(CAST(v2 AS DOUBLE), 6) END AS ch2_mean
             FROM b
         """,

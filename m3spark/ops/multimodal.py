@@ -123,14 +123,15 @@ _NULL_FEATURES = {f.name: None for f in FEATURE_SCHEMA.fields}
 
 # ---------------------------------------------------------------------------
 # PNG pixel decode — dependency-free (stdlib zlib inflate + scanline
-# unfiltering per the W3C PNG spec §6/§9): 8- and 16-bit depths, color
-# types 0 (gray) / 2 (rgb) / 3 (palette via PLTE, 8-bit only per spec)
+# unfiltering per the W3C PNG spec §6/§9): ALL spec depths — 1/2/4-bit
+# (gray and palette, MSB-first bit-packed scanlines, r7), 8- and
+# 16-bit — over color types 0 (gray) / 2 (rgb) / 3 (palette via PLTE)
 # / 4 (gray+alpha) / 6 (rgba), non-interlaced AND Adam7-interlaced
 # (seven independently-filtered sub-images re-strided into place,
-# §8.2).  Chunk CRCs and the zlib adler32 trailer are NOT verified
+# §8.2).  Sub-byte gray samples are returned RAW (0..2^d-1), not
+# rescaled.  Chunk CRCs and the zlib adler32 trailer are NOT verified
 # (tolerant decode: a corpus crawl keeps partially-damaged files
 # decodable; the inflate itself still fails closed on garbage).
-# Sub-byte depths (1/2/4) return None (declared unsupported).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -155,17 +156,18 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _png_unfilter(rawdat: bytes, pos: int, wpx: int, hpx: int,
+def _png_unfilter(rawdat: bytes, pos: int, row_bytes: int, hpx: int,
                   bpp: int):
     """Reverse the per-scanline filters of one (sub-)image starting at
-    byte ``pos``: returns (unfiltered bytes, next pos) or None.  ``bpp``
-    is bytes per pixel — the filter distance (§9.2), so 16-bit samples
-    just widen it."""
-    stride = 1 + wpx * bpp
+    byte ``pos``: returns (unfiltered bytes, next pos) or None.
+    ``row_bytes`` is the packed scanline width (ceil(w*bits/8));
+    ``bpp`` is the filter distance (§9.2) — bytes per pixel, rounded
+    up to 1 for sub-byte depths, widened for 16-bit samples."""
+    stride = 1 + row_bytes
     if len(rawdat) < pos + stride * hpx:
         return None
-    out = bytearray(wpx * bpp * hpx)
-    prev = bytearray(wpx * bpp)
+    out = bytearray(row_bytes * hpx)
+    prev = bytearray(row_bytes)
     for r in range(hpx):
         f = rawdat[pos + r * stride]
         line = bytearray(rawdat[pos + r * stride + 1:
@@ -192,9 +194,21 @@ def _png_unfilter(rawdat: bytes, pos: int, wpx: int, hpx: int,
                 line[x] = (line[x] + pred) & 0xFF
         elif f != 0:    # None
             return None
-        out[r * wpx * bpp:(r + 1) * wpx * bpp] = line
+        out[r * row_bytes:(r + 1) * row_bytes] = line
         prev = line
     return bytes(out), pos + stride * hpx
+
+
+def _unpack_bits(data: bytes, wpx: int, hpx: int, depth: int, np):
+    """MSB-first sub-byte sample unpacking (§7.2): ``hpx`` scanlines of
+    ``wpx`` samples at 1/2/4 bits, padding bits at each row end
+    ignored.  Returns an (hpx, wpx) uint8 array of RAW sample values."""
+    row_bytes = (wpx * depth + 7) // 8
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(hpx, row_bytes)
+    bits = np.unpackbits(arr, axis=1)[:, :wpx * depth]
+    bits = bits.reshape(hpx, wpx, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
 
 
 def _png_pixels(raw: bytes):
@@ -220,15 +234,21 @@ def _png_pixels(raw: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ct, comp, filt, interlace = ihdr[8:13]
-    if depth not in (8, 16) or comp != 0 or filt != 0 \
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 \
             or interlace not in (0, 1) or ct not in _PNG_CHANNELS \
             or w == 0 or h == 0:
         return None
-    if ct == 3 and depth != 8:
+    if depth < 8 and ct not in (0, 3):
+        return None  # sub-byte depths: gray + palette only (§11.2.2)
+    if ct == 3 and depth == 16:
         return None  # palette is 8-bit-max per spec §11.2.2
     ch = _PNG_CHANNELS[ct]
-    bpp = ch * (depth // 8)
+    bpp = max(1, ch * (depth // 8))  # filter distance (§9.2)
     dtype = ">u2" if depth == 16 else np.uint8
+
+    def row_bytes(wpx):
+        return (wpx * ch * depth + 7) // 8
+
     stream = b"".join(idat)
     if len(stream) < 3:
         return None
@@ -238,11 +258,18 @@ def _png_pixels(raw: bytes):
         rawdat = zlib.decompressobj(-15).decompress(stream[2:])
     except zlib.error:
         return None
+
+    def subimage(data, wp, hp):
+        if depth < 8:
+            return _unpack_bits(data, wp, hp, depth, np) \
+                .reshape(hp, wp, 1)
+        return np.frombuffer(data, dtype=dtype).reshape(hp, wp, ch)
+
     if interlace == 0:
-        res = _png_unfilter(rawdat, 0, w, h, bpp)
+        res = _png_unfilter(rawdat, 0, row_bytes(w), h, bpp)
         if res is None:
             return None
-        px = np.frombuffer(res[0], dtype=dtype).reshape(h, w, ch)
+        px = subimage(res[0], w, h)
         if depth == 16:
             px = px.astype(np.uint16)  # native order for callers
     else:
@@ -256,12 +283,11 @@ def _png_pixels(raw: bytes):
             hp = (h - y0 + dy - 1) // dy
             if wp <= 0 or hp <= 0:
                 continue
-            res = _png_unfilter(rawdat, pos, wp, hp, bpp)
+            res = _png_unfilter(rawdat, pos, row_bytes(wp), hp, bpp)
             if res is None:
                 return None
             data, pos = res
-            px[y0::dy, x0::dx, :] = np.frombuffer(
-                data, dtype=dtype).reshape(hp, wp, ch)
+            px[y0::dy, x0::dx, :] = subimage(data, wp, hp)
     if ct == 3:
         if plte is None or len(plte) % 3:
             return None

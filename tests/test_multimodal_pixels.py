@@ -25,14 +25,26 @@ _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def _filter_subimage(arr: np.ndarray, filters, bpp: int) -> bytes:
+def _pack_row(samples: np.ndarray, depth: int) -> bytes:
+    """MSB-first sub-byte packing of one scanline (zero padding)."""
+    bits = ((samples.reshape(-1)[:, None]
+             >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+    return np.packbits(bits.astype(np.uint8)).tobytes()
+
+
+def _filter_subimage(arr: np.ndarray, filters, bpp: int,
+                     depth: int = 8) -> bytes:
     """Forward-filter one (sub-)image's scanlines with the given
     per-row filter cycle."""
     hh = arr.shape[0]
     raw = b""
-    prev = bytes(arr.shape[1] * bpp)
+    if depth < 8:
+        prev = bytes(len(_pack_row(arr[0], depth)))
+    else:
+        prev = bytes(arr.shape[1] * bpp)
     for r in range(hh):
-        line = (arr[r].reshape(-1).astype(">u2").tobytes()
+        line = (_pack_row(arr[r], depth) if depth < 8
+                else arr[r].reshape(-1).astype(">u2").tobytes()
                 if arr.dtype == np.uint16
                 else arr[r].reshape(-1).tobytes())
         f = filters[r % len(filters)]
@@ -63,22 +75,24 @@ def _filter_subimage(arr: np.ndarray, filters, bpp: int) -> bytes:
 
 
 def make_png(px: np.ndarray, ct: int, filters, plte=None,
-             split_idat=True, interlace=0):
+             split_idat=True, interlace=0, depth=None):
     """Reference encoder: forward-filters each scanline with the given
     per-row filter cycle and deflates for real; 16-bit when ``px`` is
-    uint16; Adam7 sub-image splitting when ``interlace=1``."""
+    uint16; sub-byte MSB-first packing when ``depth`` is 1/2/4; Adam7
+    sub-image splitting when ``interlace=1``."""
     h, w, ch = px.shape
-    depth = 16 if px.dtype == np.uint16 else 8
-    bpp = ch * (depth // 8)
+    if depth is None:
+        depth = 16 if px.dtype == np.uint16 else 8
+    bpp = max(1, ch * (depth // 8))
     ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
     if interlace:
         raw = b""
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                raw += _filter_subimage(sub, filters, bpp)
+                raw += _filter_subimage(sub, filters, bpp, depth)
     else:
-        raw = _filter_subimage(px, filters, bpp)
+        raw = _filter_subimage(px, filters, bpp, depth)
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if plte is not None:
         out += _chunk(b"PLTE", plte)
@@ -191,12 +205,17 @@ def test_16bit_stats_exact_division():
 
 
 @pytest.mark.parametrize("mutate", [
-    "depth4", "interlace2", "truncated", "bad_deflate", "not_png"])
+    "depth4_rgb", "depth3", "interlace2", "truncated", "bad_deflate",
+    "not_png"])
 def test_rejects(mutate):
     px = np.zeros((2, 2, 1), dtype=np.uint8)
     raw = make_png(px, 0, [0])
-    if mutate == "depth4":
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    if mutate == "depth4_rgb":
+        # sub-byte depths are gray/palette only (§11.2.2)
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+        raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
+    elif mutate == "depth3":
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
         raw = raw[:8] + _chunk(b"IHDR", ihdr) + raw[8 + 25:]
     elif mutate == "interlace2":
         ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
@@ -255,3 +274,65 @@ def test_decode_image_pixels_op(spark):
             got = out[i][k]
             assert (got == pytest.approx(v) if isinstance(v, float)
                     else got == v), (i, k, got, v)
+
+
+# ---- r7: sub-byte depths (1/2/4-bit gray + palette, §7.2) ----
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filters",
+                         [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_roundtrip_subbyte_gray(depth, filters):
+    """Raw sub-byte samples round-trip bit-exactly through real zlib,
+    every filter, odd widths (row-end padding bits exercised)."""
+    rng = np.random.default_rng(depth * 10 + filters[0])
+    for w, h in [(1, 1), (3, 2), (5, 4), (8, 3), (13, 5)]:
+        px = rng.integers(0, 1 << depth, (h, w, 1), dtype=np.uint8)
+        got = _png_pixels(make_png(px, 0, filters, depth=depth))
+        assert got is not None, (depth, w, h)
+        gw, gh, gch, arr = got
+        assert (gw, gh, gch) == (w, h, 1)
+        assert np.array_equal(arr, px), (depth, w, h)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_roundtrip_subbyte_palette(depth):
+    n = 1 << depth
+    plte = bytes(v for j in range(n) for v in (j * 15, j * 15 + 1,
+                                               j * 15 + 2))
+    rng = np.random.default_rng(depth)
+    idx = rng.integers(0, n, (4, 7, 1), dtype=np.uint8)
+    got = _png_pixels(make_png(idx, 3, [0, 2], plte=plte, depth=depth))
+    assert got is not None
+    gw, gh, gch, arr = got
+    assert (gw, gh, gch) == (7, 4, 3)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(arr, pal[idx.reshape(4, 7)])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_roundtrip_subbyte_adam7(depth):
+    """Adam7 sub-images are bit-packed independently per pass."""
+    rng = np.random.default_rng(100 + depth)
+    for w, h in [(9, 10), (5, 3), (16, 16)]:
+        px = rng.integers(0, 1 << depth, (h, w, 1), dtype=np.uint8)
+        got = _png_pixels(make_png(px, 0, [0, 1, 2, 3, 4],
+                                   depth=depth, interlace=1))
+        assert got is not None, (depth, w, h)
+        assert np.array_equal(got[3], px), (depth, w, h)
+
+
+def test_subbyte_padding_bits_ignored():
+    """Nonzero garbage in row-end padding bits must not leak into
+    samples (spec: padding content is arbitrary)."""
+    # depth 4, w=3 -> 2 bytes/row; low nibble of byte 2 is padding
+    raw_rows = bytes([0, 0xAB, 0xCF]) + bytes([0, 0x12, 0x39])
+    import zlib as _z
+    comp = _z.compress(raw_rows)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 0, 0, 0, 0))
+           + _chunk(b"IDAT", comp) + _chunk(b"IEND", b""))
+    got = _png_pixels(png)
+    assert got is not None
+    assert got[3].reshape(2, 3).tolist() == [[0xA, 0xB, 0xC],
+                                             [0x1, 0x2, 0x3]]
