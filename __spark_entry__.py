@@ -590,6 +590,34 @@ def q_ann_ivf_fixed_embeddings(spark, sf_dir):
                           centroid_mod=50, centroid_rem=3, n_probe=3)
 
 
+def q_ann_ivf_fixed_persisted(spark, sf_dir):
+    """Persisted inverted-file variant (r7): the assigned vectors are
+    WRITTEN partitioned by cluster (ops/similarity.py
+    ivf_persist_fixed — one directory per inverted list), then the
+    probe-time read carries `_cluster IN (probe)` into the parquet
+    scan's PartitionFilters, so only 3 of 11 inverted-list directories
+    are touched (pruning proof: tests/test_ops.py
+    test_ivf_persisted_partition_pruning).  Same results as
+    ann_ivf_fixed_embeddings — the oracle recomputes assignment,
+    probing, and the pruned top-k in SQL."""
+    import os
+    import tempfile
+
+    from m3spark.ops import ivf_persist_fixed, ivf_topk_fixed_persisted
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    qvec = [float(x) for x in
+            emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
+    path = os.path.join(tempfile.gettempdir(),
+                        "m3spark_ivf_index_"
+                        + os.path.basename(os.path.normpath(sf_dir)))
+    cents = ivf_persist_fixed(emb, path, vec_col="embedding",
+                              centroid_mod=50, centroid_rem=3)
+    return ivf_topk_fixed_persisted(spark, path, cents, qvec, 10,
+                                    vec_col="embedding", n_probe=3)
+
+
 def q_lsh_ann_embeddings(spark, sf_dir):
     """Random-hyperplane LSH recall on planted near-duplicates — the
     similarity scale path with a hard check: 40 perturbed copies
@@ -1253,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "lsh_ann_embeddings": q_lsh_ann_embeddings,
         "ann_ivf_fixed_embeddings": q_ann_ivf_fixed_embeddings,
+        "ann_ivf_fixed_persisted": q_ann_ivf_fixed_persisted,
         "multimodal_features": q_multimodal_features,
         "multimodal_image_headers": q_multimodal_image_headers,
         "multimodal_pixel_stats": q_multimodal_pixel_stats,
@@ -1883,6 +1912,41 @@ def oracle_sql() -> dict[str, str]:
         # deterministic-quantizer IVF: centroid subsample, max-cosine
         # assignment (ties to larger centroid id), probe-3, pruned top-k
         "ann_ivf_fixed_embeddings": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e
+                  WHERE vec_id % 50 = 3),
+            probe AS (
+              SELECT cid FROM c, q
+              ORDER BY list_dot_product(cv, qv) /
+                       (sqrt(list_dot_product(cv, cv)) *
+                        sqrt(list_dot_product(qv, qv))) DESC, cid
+              LIMIT 3),
+            assign AS (
+              SELECT vec_id, v, cid AS cluster FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c.cv) /
+                                  (sqrt(list_dot_product(e.v, e.v)) *
+                                   sqrt(list_dot_product(c.cv, c.cv)))
+                                  DESC, c.cid DESC) AS rn
+                FROM e, c) WHERE rn = 1),
+            cand AS (SELECT vec_id, v FROM assign
+                     WHERE cluster IN (SELECT cid FROM probe))
+            SELECT vec_id, ROUND(sim, 6) AS cosine FROM (
+              SELECT vec_id,
+                     list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(qv, qv))) AS sim
+              FROM cand, q)
+            ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        # the persisted inverted-file variant returns the SAME top-k as
+        # the in-memory fixed-quantizer plan (the layout changes the IO
+        # shape, not the results) — identical oracle
+        "ann_ivf_fixed_persisted": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

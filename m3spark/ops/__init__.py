@@ -10,8 +10,9 @@ from .dedup import (  # noqa: F401
     minhash_pairs, minhash_signatures, simhash,
 )
 from .similarity import (  # noqa: F401
-    cosine_topk, ivf_topk, ivf_topk_fixed, ivf_topk_queries,
-    lsh_ann_pairs, lsh_candidates,
+    cosine_topk, ivf_persist_fixed, ivf_topk, ivf_topk_fixed,
+    ivf_topk_fixed_persisted, ivf_topk_queries, lsh_ann_pairs,
+    lsh_candidates,
 )
 from .phash import portable_hash60  # noqa: F401
 from .text import fingerprint, lang_id, quality, token_stats  # noqa: F401

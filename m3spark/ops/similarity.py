@@ -286,28 +286,49 @@ def ivf_topk_fixed(df: DataFrame, vec_col: str, query: list[float], k: int,
     Plan shape at scale: centroids are broadcast (tiny), assignment is a
     map-side argmax per vector (no shuffle), probe prunes to n_probe
     inverted lists, then exact top-k scans only those lists."""
-    cents = (df.where((F.col(id_col) % centroid_mod) == centroid_rem)
-               .select(F.col(id_col).alias("_cid"),
-                       F.col(vec_col).alias("_cv"))
-               .collect())  # bounded: one row per centroid
-    # assignment is a PER-ROW argmax over the centroid literals — a pure
-    # map-side expression, zero shuffle, zero join (the centroid list is
-    # the quantizer codebook; at scale it ships inside the plan exactly
-    # like a broadcast).  array_max over struct(cos, cid) reproduces the
-    # (cosine, id)-lexicographic tie-break the SQL oracle uses.
+    cents = _fixed_codebook(df, vec_col, id_col, centroid_mod,
+                            centroid_rem)
+    e = _fixed_assign(df, vec_col, id_col, cents)
+    probe = _fixed_probe(cents, query, n_probe)
+    cand = (e.where(F.col("_cluster").isin(probe))
+             .select(F.col("_id").alias(id_col),
+                     F.col("_v").alias(vec_col)))
+    return cosine_topk(cand, vec_col, query, k, id_col)
+
+
+def _fixed_codebook(df: DataFrame, vec_col: str, id_col: str,
+                    centroid_mod: int, centroid_rem: int):
+    return (df.where((F.col(id_col) % centroid_mod) == centroid_rem)
+              .select(F.col(id_col).alias("_cid"),
+                      F.col(vec_col).alias("_cv"))
+              .collect())  # bounded: one row per centroid
+
+
+def _fixed_assign(df: DataFrame, vec_col: str, id_col: str,
+                  cents) -> DataFrame:
+    """(_id, _v, _cluster): assignment is a PER-ROW argmax over the
+    centroid literals — a pure map-side expression, zero shuffle, zero
+    join (the centroid list is the quantizer codebook; at scale it
+    ships inside the plan exactly like a broadcast).  array_max over
+    struct(cos, cid) reproduces the (cosine, id)-lexicographic
+    tie-break the SQL oracle uses."""
     def cos_to(cv):
         lit_v = F.array(*[F.lit(float(x)) for x in cv])
         return _dot(F.col("_v"), lit_v) / (
             _norm(F.col("_v")) * _norm(lit_v))
 
+    inner = df.select(F.col(id_col).alias("_id"),
+                      F.col(vec_col).alias("_v"))
     arr = F.array(*[F.struct(cos_to(r["_cv"]).alias("c"),
                              F.lit(r["_cid"]).alias("id"))
                     for r in cents])
-    cluster = F.array_max(arr)["id"]
-    e = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-                  cluster.alias("_cluster"))
-    # probe: the n_probe centroids nearest the query (driver-side over
-    # the already-collected codebook)
+    return inner.select("_id", "_v", F.array_max(arr)["id"]
+                        .alias("_cluster"))
+
+
+def _fixed_probe(cents, query: list[float], n_probe: int) -> list:
+    """The n_probe centroid ids nearest the query — driver-side over
+    the already-collected codebook."""
     import math
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
 
@@ -318,10 +339,45 @@ def ivf_topk_fixed(df: DataFrame, vec_col: str, query: list[float], k: int,
         n = math.sqrt(sum(float(a) * float(a) for a in cv)) or 1.0
         return dot / (n * qn)
 
-    probe = [cid for _, cid in
-             sorted(((qcos(r["_cv"]), r["_cid"]) for r in cents),
-                    key=lambda t: (-t[0], t[1]))[:n_probe]]
-    cand = (e.where(F.col("_cluster").isin(probe))
-             .select(F.col("_id").alias(id_col),
-                     F.col("_v").alias(vec_col)))
+    return [cid for _, cid in
+            sorted(((qcos(r["_cv"]), r["_cid"]) for r in cents),
+                   key=lambda t: (-t[0], t[1]))[:n_probe]]
+
+
+def ivf_persist_fixed(df: DataFrame, path: str, vec_col: str = "v",
+                      id_col: str = "vec_id", centroid_mod: int = 50,
+                      centroid_rem: int = 3,
+                      mode: str = "overwrite"):
+    """Materialize the inverted-file layout: assign every vector with
+    the deterministic fixed quantizer and WRITE the table partitioned
+    by ``_cluster`` (one directory per inverted list — the tables.py
+    layout), so probe-time reads prune partitions at the SCAN instead
+    of filtering after it.  Returns the codebook to pass to
+    :func:`ivf_topk_fixed_persisted`.  This makes the 'persist the
+    assigned table bucketed by cluster' promise in :func:`ivf_topk`
+    real; with Iceberg on the classpath the same layout comes from
+    ``writeTo(...).partitionedBy("_cluster")``."""
+    cents = _fixed_codebook(df, vec_col, id_col, centroid_mod,
+                            centroid_rem)
+    e = _fixed_assign(df, vec_col, id_col, cents)
+    (e.repartition("_cluster")
+      .write.mode(mode).partitionBy("_cluster").parquet(path))
+    return cents
+
+
+def ivf_topk_fixed_persisted(spark, path: str, cents,
+                             query: list[float], k: int,
+                             vec_col: str = "v",
+                             id_col: str = "vec_id",
+                             n_probe: int = 3) -> DataFrame:
+    """Probe-time IVF top-k over a persisted inverted-file table: the
+    ``_cluster IN (probe set)`` predicate lands in the parquet scan's
+    PartitionFilters (proof: tests/test_ops.py
+    test_ivf_persisted_partition_pruning), so only the n_probe
+    inverted-list directories are read — the IO shape a 100-TB ANN
+    serving path needs."""
+    probe = _fixed_probe(cents, query, n_probe)
+    e = spark.read.parquet(path).where(F.col("_cluster").isin(probe))
+    cand = e.select(F.col("_id").alias(id_col),
+                    F.col("_v").alias(vec_col))
     return cosine_topk(cand, vec_col, query, k, id_col)

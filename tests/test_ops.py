@@ -371,3 +371,30 @@ def test_substring_dup_fraction(spark):
     assert out[1] == (3, 2, round(2 / 3, 6))
     assert out[2] == (3, 2, round(2 / 3, 6))
     assert out[3] == (3, 0, 0.0)
+
+
+def test_ivf_persisted_partition_pruning(spark, tmp_path_factory):
+    """r7: the persisted inverted-file layout prunes at the SCAN — the
+    probe predicate lands in the parquet scan's PartitionFilters and
+    the persisted top-k equals the in-memory fixed-quantizer top-k."""
+    import re
+
+    from m3spark.ops import (ivf_persist_fixed, ivf_topk_fixed,
+                             ivf_topk_fixed_persisted)
+
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    query = rows[5][1]
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    cents = ivf_persist_fixed(df, path, centroid_mod=40, centroid_rem=1)
+    got = ivf_topk_fixed_persisted(spark, path, cents, query, 7,
+                                   n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_cluster" in m.group(1), plan
+    want = ivf_topk_fixed(df, "v", query, 7, centroid_mod=40,
+                          centroid_rem=1, n_probe=2).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got.collect()] == \
+        [(r["vec_id"], r["cosine"]) for r in want]
