@@ -124,6 +124,10 @@ def run_bench() -> dict:
         "ann_ivf_embeddings", "multimodal_jpeg_stats",
         "multimodal_audio_stats", "val_dynamic_ref",
         "dedup_substring_documents",
+        # round-7 additions: connected-components cluster resolution,
+        # per-doc duplicate-passage fraction, persisted IVF probe
+        "dedup_clusters_documents", "dedup_passage_fraction_documents",
+        "ann_ivf_fixed_persisted",
     ]
     for name in headline + new_ops:
         timed(name, lambda _n=name: qs[_n](spark, SF_DIR).count())
@@ -789,6 +793,21 @@ def run_scaling(n_low: int = 4, n_high: int = 16,
     return report
 
 
+def _tree() -> str:
+    """Short git tree id stamped onto every history attempt (r7), so
+    cohorts can be sliced per frozen tree — the single-tree >= 0.8
+    confirmation the r6 verdict asked for needs attempts attributable
+    to one exact tree."""
+    try:
+        return subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 _HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_history.json")
 
@@ -805,7 +824,8 @@ def _append_history(attempts_out: list, n_pages: int,
             hist = json.load(f)
     except (OSError, ValueError):
         hist = []
-    hist.extend(dict(a, pages=n_pages, mode=mode) for a in attempts_out)
+    hist.extend(dict(a, pages=n_pages, mode=mode, tree=_tree())
+                for a in attempts_out)
     _write_history_atomic(hist)
     same = [a for a in hist if a.get("mode", "threads") == mode]
     effs = sorted(a["efficiency"] for a in same)
@@ -893,6 +913,31 @@ def _gated_md_section() -> str:
             f"degrading mid-attempt (per-row `post` column), with "
             f"work ratio ~1.0-1.14 and flat utilization, i.e. "
             f"host-attributable, not engine loss.\n")
+    # single-tree cohorts (r7): every attempt is stamped with its git
+    # tree, so the >= 0.8 criterion can be read off ONE frozen tree
+    by_tree: dict = {}
+    for a in gated:
+        by_tree.setdefault(a.get("tree", "pre-r7(untagged)"),
+                           []).append(a)
+    tree_rows = "\n".join(
+        f"| {t} | {len(xs)} "
+        f"| {round(statistics.median(x['efficiency'] for x in xs), 3)} "
+        f"| {round(statistics.median(x['normalized_efficiency'] for x in xs), 3)} "
+        f"| {round(max(x['efficiency'] for x in xs), 3)} |"
+        for t, xs in sorted(by_tree.items(),
+                            key=lambda kv: min(x.get("ts", 0)
+                                               for x in kv[1])))
+    tree_note = f"""
+### Single-tree cohorts (r7)
+
+Attempts grouped by the exact git tree they ran on (`tree` column in
+bench_history.json; attempts recorded before r7 tagging are grouped as
+pre-r7(untagged) — those are the r6 mid-round + final-tree cohort):
+
+| tree | attempts | raw median | normalized median | best |
+|---|---|---|---|---|
+{tree_rows}
+"""
     return f"""## Membw-GATED quiet-window cohort (r6, `--scaling-gated`)
 
 VERDICT r5 task 1: the probe runs FIRST and gates the window — a Spark
@@ -915,7 +960,7 @@ convention); `stable` = pre AND post probes both cleared the gates.
 the gate): raw median {med} / normalized median {med_norm} / best
 {best}.  Stable-window subset ({len(stable)} attempts): raw median
 {st_med} / normalized {st_norm}.**  Target >= 0.8 raw.
-{batch_note}
+{batch_note}{tree_note}
 Gated-cohort per-attempt attribution (same columns as above —
 work ratio ~1.0 + flat utilization = no engine-attributable loss):
 
