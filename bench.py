@@ -937,6 +937,20 @@ pre-r7(untagged) — those are the r6 mid-round + final-tree cohort):
 | tree | attempts | raw median | normalized median | best |
 |---|---|---|---|---|
 {tree_rows}
+
+r7 campaign read (tree 461243d, 13 attempts over ~5 h, 57 gated
+skips): the cohort is bimodal by host weather, not by engine.  A
+good-window cluster of 6 attempts spans 0.836-0.952 (raw median ~0.9);
+a contended stretch contributed 4 attempts at 0.553-0.597 where the
+window PASSED the pre-gate and then collapsed mid-attempt (work ratios
+1.37-1.59 — CPU cycles burned on memory stalls — with the next probe
+reading membw 0.14-0.52); the remainder sat on a stable low plateau
+(0.764-0.797) where the host's own no-Spark md5 ceiling was 0.72-0.81
+and the engine tracked it (normalized 0.895-0.978).  All attempts are
+reported in the median — raw median 0.795 misses the 0.8 bar by 0.005
+on this host day, while the engine-attributable normalized median is
+0.976 and every sufficiently-quiet window clears the bar raw.  No
+attempt was excluded, re-run, or re-sliced after the fact.
 """
     return f"""## Membw-GATED quiet-window cohort (r6, `--scaling-gated`)
 
@@ -1183,6 +1197,24 @@ The bimodality pattern (identical plans 2.7 s vs 10.4 s within one
 JVM, on BOTH trees) is the same host behavior the membw baseline
 quantifies below — it is why sub-second and shuffle-light queries are
 only judged on quiet-window minima and same-window ratios here.
+
+## Round-6 bench deltas: attributed (r7)
+
+Headline total 23.52 -> 21.49 s (-9%), flagship docs/sec +10%.  The
+three deltas outside run-envelope noise:
+
+| query | r6->r7 recorded delta | evidence | verdict |
+|---|---|---|---|
+| val_events_props | -81% (3.64 -> 0.67 s) | the query moved engines: r7 compiles `format: date` to a closed-form JVM calendar predicate and the query now runs the columnar path (0 shuffles, 0 Python, whole-stage codegen — PLANS.md) with a richer schema (adversarial date leg added); oracle re-derives dates with DuckDB's own TRY_CAST | deliberate engine upgrade |
+| multimodal_features | +418% (0.46 -> 2.36 s) | same-tree re-run: first invocation 5.7 s, then 0.55/0.50/0.47 s steady — the one-time Python-worker/Arrow startup that val_events_props used to absorb (it was the first Arrow stage in bench order through r6) now lands on the first REMAINING Arrow query | cost relocation, not regression; steady-state unchanged |
+| dedup_substring_documents | -32% (1.85 -> 1.26 s) | r7 re-keys the aggregate on xxhash64(gram): per-doc array_distinct pre-explode turns the two-phase count-distinct into one map-side-combinable count, and the shuffle carries (8-byte hash, count, exemplar) instead of full 8-word gram strings | the r6 weak-perf fix, measured |
+
+New r7 queries (no prior twin): dedup_clusters_documents 4.1 s
+(iterative connected components: per-round job overhead dominates at
+sf0.1's 25-pair graph — rounds, not data, set the floor),
+dedup_passage_fraction_documents 2.4 s, ann_ivf_fixed_persisted 6.6 s
+(includes WRITING the partitioned inverted-file index; the probe read
+itself prunes to 3 of 11 partitions).
 
 ## The memory-bandwidth baseline (r5): why some windows are bad
 
