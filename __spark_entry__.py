@@ -609,9 +609,12 @@ def q_ann_ivf_fixed_persisted(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double")))
     qvec = [float(x) for x in
             emb.where(F.col("vec_id") == 0).select("embedding").head()[0]]
-    path = os.path.join(tempfile.gettempdir(),
-                        "m3spark_ivf_index_"
-                        + os.path.basename(os.path.normpath(sf_dir)))
+    # per-run unique dir (r7 ADVICE): a fixed name under the shared
+    # system tmp is a cross-user collision/symlink hazard and two
+    # concurrent runs on the same sf_dir would clobber each other
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="m3spark_ivf_index_"),
+        os.path.basename(os.path.normpath(sf_dir)))
     cents = ivf_persist_fixed(emb, path, vec_col="embedding",
                               centroid_mod=50, centroid_rem=3)
     return ivf_topk_fixed_persisted(spark, path, cents, qvec, 10,

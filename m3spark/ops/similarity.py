@@ -306,24 +306,63 @@ def _fixed_codebook(df: DataFrame, vec_col: str, id_col: str,
 
 def _fixed_assign(df: DataFrame, vec_col: str, id_col: str,
                   cents) -> DataFrame:
-    """(_id, _v, _cluster): assignment is a PER-ROW argmax over the
-    centroid literals — a pure map-side expression, zero shuffle, zero
-    join (the centroid list is the quantizer codebook; at scale it
-    ships inside the plan exactly like a broadcast).  array_max over
-    struct(cos, cid) reproduces the (cosine, id)-lexicographic
-    tie-break the SQL oracle uses."""
-    def cos_to(cv):
-        lit_v = F.array(*[F.lit(float(x)) for x in cv])
-        return _dot(F.col("_v"), lit_v) / (
-            _norm(F.col("_v")) * _norm(lit_v))
+    """(_id, _v, _cluster): assignment is an argmax over the codebook
+    via a BROADCAST join + max(struct(cos, cid)) aggregation.
+
+    The r7 implementation inlined every centroid as an array literal
+    into one per-row array_max expression.  Two problems at scale: the
+    expression tree (and generated code) grew LINEARLY with the
+    codebook (n_rows/centroid_mod centroids), and higher-order
+    functions (zip_with/aggregate) are CodegenFallback — every one of
+    the n_rows x n_centroids cosines ran through interpreted, boxed
+    lambda evaluation (~140 s for 20k x 400 at sf1.0, nearly pure
+    expression-eval overhead).  Like lsh_buckets_arrow, the scale
+    path is ONE BLAS matmul per Arrow batch: (batch x dim) @
+    (dim x n_cent) -> cosine matrix -> argmax, constant-size plan.
+
+    Argmax semantics are kept identical to the old
+    array_max(struct(cos, cid)) JVM ordering: NaN cosine sorts GREATEST
+    (so a zero-norm centroid wins over finite scores), equal scores
+    tie-break to the LARGEST cid, and a degenerate row (null vector,
+    wrong length, null/NaN element => every cosine null or NaN) gets
+    the largest cid overall."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
 
     inner = df.select(F.col(id_col).alias("_id"),
                       F.col(vec_col).alias("_v"))
-    arr = F.array(*[F.struct(cos_to(r["_cv"]).alias("c"),
-                             F.lit(r["_cid"]).alias("id"))
-                    for r in cents])
-    return inner.select("_id", "_v", F.array_max(arr)["id"]
-                        .alias("_cluster"))
+    if not cents:
+        return inner.select("_id", "_v",
+                            F.lit(None).cast("long").alias("_cluster"))
+    cids = np.asarray([int(r["_cid"]) for r in cents], dtype="int64")
+    C = np.asarray([[float(x) for x in r["_cv"]] for r in cents],
+                   dtype="float64")
+    dim = C.shape[1]
+    c_norm = np.sqrt((C * C).sum(axis=1))
+    fallback_cid = int(cids.max())
+
+    @pandas_udf("long")
+    def assign(s: pd.Series) -> pd.Series:
+        if len(s) == 0:
+            return pd.Series([], dtype="int64")
+        good = s.map(lambda x: x is not None and len(x) == dim)
+        out = np.full(len(s), fallback_cid, dtype="int64")
+        if good.any():
+            V = np.asarray([np.asarray(x, dtype="float64")
+                            for x in s[good.values]])
+            v_norm = np.sqrt((V * V).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sc = (V @ C.T) / (v_norm[:, None] * c_norm[None, :])
+            # NaN sorts greatest in the JVM struct ordering
+            sc = np.where(np.isnan(sc), np.inf, sc)
+            best = sc.max(axis=1)
+            # tie-break: largest cid among the max-score centroids
+            win = np.where(sc == best[:, None], cids[None, :], -1) \
+                    .max(axis=1)
+            out[np.flatnonzero(good.values)] = win
+        return pd.Series(out)
+
+    return inner.select("_id", "_v", assign("_v").alias("_cluster"))
 
 
 def _fixed_probe(cents, query: list[float], n_probe: int) -> list:
