@@ -311,6 +311,19 @@ class ColumnarValidator:
         self._force_py = force_python_patterns
         self.checks: list[Check] = []
         self.unsupported: list[str] = []
+        # shared subexpressions bound ONCE per row in a projection below
+        # the check projection (r8): name -> (source column, () -> Column).
+        # Today this carries the content-keyword decode chain
+        # (try_parse_json(unbase64(col)) and the base64-validity gate),
+        # which would otherwise be re-evaluated by every per-keyword
+        # predicate — Spark's codegen subexpression elimination does not
+        # collapse them because each occurrence sits inside a different
+        # conditional branch.  apply() materializes these and records
+        # them in _avail; builders fall back to the inline expression
+        # when their validator instance was hoisted into a fragment
+        # predicate (whose synthetic columns never hit a real plan).
+        self.derived: dict = {}
+        self._avail: set = set()
         # validate-m2 parity with the interpreter (core.py): an invalid
         # schema compiles to a plan that flags EVERY row with the
         # meta-error instead of silently lenient checks
@@ -1142,9 +1155,22 @@ class ColumnarValidator:
         csp = f"{sp}/{reg}"
         b64 = enc == "base64"
 
+        # shared decode subexpressions, bound once per row when this
+        # validator's apply() runs (fallback: inline, for validators
+        # hoisted into fragment predicates)
+        vname = f"__m3var__{name}"
+        bname = f"__m3b64__{name}"
+
+        def _bok(col):
+            if bname in self._avail:
+                return F.col(bname)
+            return _b64_ok(col)
+
         if b64:
+            self.derived[bname] = (name,
+                                   lambda _n=name: _b64_ok(F.col(_n)))
             self._add(name, "contentEncoding", csp, "not valid base64",
-                      level, _string_only(lambda col, dt: _b64_ok(col)))
+                      level, _string_only(lambda col, dt: _bok(col)))
 
         # contentSchema without contentMediaType still assumes JSON
         # content — reference property.cljc:796-801 (interp parity:
@@ -1157,11 +1183,28 @@ class ColumnarValidator:
         def dec(col):
             return F.unbase64(col).cast("string") if b64 else col
 
+        def _var(col):
+            if vname in self._avail:
+                return F.col(vname)
+            return F.try_parse_json(dec(col))
+
+        # the b64 variant must stay NULL (not throw) on invalid base64:
+        # unbase64 raises on malformed input, so the decode is gated on
+        # the validity check — exactly the guard every consumer's
+        # short-circuit (`~b64_ok | ...`, `b64_ok & ...`) already
+        # implies, so substituting NULL is observationally identical
+        self.derived[vname] = (
+            name, lambda _n=name, _b=b64: (
+                F.when(_b64_ok(F.col(_n)),
+                       F.try_parse_json(
+                           F.unbase64(F.col(_n)).cast("string")))
+                if _b else F.try_parse_json(F.col(_n))))
+
         def json_ok(col, dt):
-            ok = F.try_parse_json(dec(col)).isNotNull()
+            ok = _var(col).isNotNull()
             # an invalid encoding already produced its own violation;
             # the interpreter returns early there (core.py c_content)
-            return (~_b64_ok(col) | ok) if b64 else ok
+            return (~_bok(col) | ok) if b64 else ok
 
         if assume_json:
             # decode failure is a contentSchema warning (interp parity)
@@ -1177,10 +1220,10 @@ class ColumnarValidator:
             for kw, spath, msg, inner in self._lower_content_schema(
                     csch, f"{csp}/contentSchema"):
                 def gated(col, dt, _inner=inner):
-                    v = F.try_parse_json(dec(col))
+                    v = _var(col)
                     gate = v.isNotNull()
                     if b64:
-                        gate = _b64_ok(col) & gate
+                        gate = _bok(col) & gate
                     return ~gate | _inner(v)
                 # interp parity: every contentSchema violation is a
                 # warning regardless of draft (core.py c_content)
@@ -2374,6 +2417,17 @@ class ColumnarValidator:
     def apply(self, df: DataFrame, out_valid: str = "valid",
               out_violations: str = "violations") -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
+        # bind shared subexpressions (content decode chain) once per row
+        # in a projection UNDER the check projection: each is referenced
+        # many times by the per-keyword predicates, and CollapseProject
+        # keeps the boundary because the expressions are non-cheap and
+        # multiply-referenced.
+        added = []
+        for dname, (src, build_col) in self.derived.items():
+            if src in dtypes and isinstance(dtypes[src], T.StringType):
+                df = df.withColumn(dname, build_col())
+                added.append(dname)
+        self._avail = set(added)
         structs = []
         for c in self.checks:
             if c.column == self._ROW_CHECK:
@@ -2430,11 +2484,14 @@ class ColumnarValidator:
                 "array<struct<keyword:string,schema_path:string,"
                 "doc_path:string,message:string,level:string,"
                 "value:string>>")
+        self._avail = set()
         df = df.withColumn(out_violations, viol_arr)
         df = df.withColumn(
             out_valid,
             F.size(F.filter(F.col(out_violations),
                             lambda x: x["level"] == "error")) == 0)
+        if added:
+            df = df.drop(*added)
         return df
 
     def violation_rows(self, df: DataFrame, key_col: str) -> DataFrame:

@@ -64,6 +64,21 @@ def get_spark(app: str = "m3spark", cores: int | None = None,
     return (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # InferFiltersFromGenerate plants a `size(gen_input) > 0` filter
+        # below every explode; predicate pushdown then substitutes the
+        # FULL generator-input expression into that filter, so for the
+        # violation queries (explode over a computed violations array)
+        # the whole validation expression tree was evaluated TWICE per
+        # row — and the filter copy ran outside whole-stage codegen
+        # (variant/invoke exprs force interpreted eval).  The inferred
+        # filter is purely an optimization (it never changes results);
+        # excluding it measured -40..-75% on the five val_* queries at
+        # sf1.0 and is scale-independent plan hygiene, not a local[32]
+        # tune (the duplicated subtree grows with schema complexity,
+        # not core count).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
