@@ -58,7 +58,8 @@ def main():
             t0 = time.monotonic()
             result = _run(qs[name](spark, args.sf), args.mode)
             samples.append(round(time.monotonic() - t0, 3))
-        out[name] = {"samples": samples, "min": min(samples),
+        out[name] = {"samples": samples,
+                     "min": min(samples) if samples else None,
                      "count": result}
     if args.explain and args.query:
         import contextlib

@@ -18,6 +18,8 @@ no Python in any hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,6 +28,17 @@ from pyspark.sql import functions as F
 # oracle SQL): h30 = md5-60bit(shingle) mod 2^30; h_i = (a_i*h30+b_i) mod p
 PORTABLE_H30 = 1 << 30
 PORTABLE_P = (1 << 31) - 1
+
+
+def _py_hash60(s: str | None) -> int:
+    """Bit-identical Python mirror of ops.phash.portable_hash60 with the
+    default empty salt: conv(substr(md5(concat_ws('|', '', s)), 1, 15),
+    16, 10).  concat_ws SKIPS a null argument, so a NULL input hashes
+    the bare '' (the lone empty-salt part), not '|'."""
+    import hashlib
+
+    data = b"" if s is None else ("|" + s).encode("utf-8")
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
 
 
 def _minhash_coeffs(i: int) -> tuple[int, int]:
@@ -137,31 +150,65 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     (md5-60bit via ops.phash — bit-identical in DuckDB, so the whole
     MinHash pipeline is oracle-verifiable value-by-value).
 
-    Explode-then-aggregate shape: shingles are computed ONCE per row,
-    then num_hashes MIN aggregates run with map-side partial combine —
-    one shuffle of one row per doc, regardless of text size.  (The
-    expression-only alternative — num_hashes array_min(transform(...)) —
-    recomputes the shingle array per salt: ~30x the work.)"""
-    from m3spark.ops.phash import portable_hash60
+    ``hash_fn='portable'`` (r8) computes the whole signature per doc in
+    ONE Arrow stage: shingling, md5 and the K universal-hash mins run
+    vectorized in the Python worker (hashlib md5 is bit-identical to
+    the JVM/DuckDB md5, and the shingling mirrors
+    sequence/substring/array_distinct exactly — see _py_hash60 and the
+    inline notes), so the former explode + K-way MIN aggregate — one
+    interpreted higher-order-function pass over every shingle plus a
+    keyed shuffle of the shingle stream — collapses to a map-side
+    batch computation with NO shuffle at all.  Per-doc work is bounded
+    by text length, so the stage carries no skew.
+
+    ``hash_fn='xxhash64'`` keeps the JVM explode-then-aggregate shape:
+    shingles computed once per row, then num_hashes MIN aggregates with
+    map-side partial combine — one shuffle of one row per doc.  (The
+    expression-only alternative — num_hashes array_min(transform(...))
+    — recomputes the shingle array per salt: ~30x the work.)"""
+    if hash_fn == "portable":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        coeffs = [_minhash_coeffs(i) for i in range(num_hashes)]
+        a = np.asarray([c[0] for c in coeffs], dtype=np.int64)
+        b = np.asarray([c[1] for c in coeffs], dtype=np.int64)
+
+        @pandas_udf("array<bigint>")
+        def sig(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                if text is None:
+                    # char_shingles(NULL): sequence(1, greatest(n,1))
+                    # yields [1]; substring(NULL,..) is NULL; the md5
+                    # input collapses to '' (concat_ws skips nulls)
+                    shingles = [None]
+                else:
+                    # sequence(1, greatest(len-k+1, 1), stride) with
+                    # 1-based substring == 0-based range(0, m, stride)
+                    m = max(len(text) - (k - 1), 1)
+                    shingles = list({text[i:i + k]
+                                     for i in range(0, m, stride)})
+                h30 = np.asarray([_py_hash60(s) % PORTABLE_H30
+                                  for s in shingles], dtype=np.int64)
+                # (a_i * h30 + b_i) mod p: h30 < 2^30 and a_i < 2^7 at
+                # num_hashes<=64, so products stay far inside int64
+                out.append((h30[:, None] * a[None, :] + b[None, :])
+                           .__mod__(PORTABLE_P).min(axis=0).tolist())
+            return pd.Series(out)
+
+        from m3spark.ops.repart import widen_partitions
+
+        base = widen_partitions(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        return base.select("_id", sig(F.col(text_col)).alias("signature"))
 
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), k, stride)).alias("shingle"))
 
-    if hash_fn == "portable":
-        # ONE md5 per shingle, then K universal-hash derivations
-        # (a_i*h30 + b_i) mod p — 30-bit base keeps every product inside
-        # int64, and DuckDB reproduces the exact values
-        # (tools/check_oracles.py minhash_pairs_documents)
-        base = (portable_hash60(F.col("shingle")) % F.lit(PORTABLE_H30))
-        sh = sh.select("_id", base.alias("_h30"))
-
-        def h(i):
-            a, b = _minhash_coeffs(i)
-            return (F.col("_h30") * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_P)
-    else:
-        def h(i):
-            return F.xxhash64(F.col("shingle"), F.lit(i))
+    def h(i):
+        return F.xxhash64(F.col("shingle"), F.lit(i))
 
     aggs = [F.min(h(i)).alias(f"_h{i}") for i in range(num_hashes)]
     return (sh.groupBy("_id").agg(*aggs)
@@ -361,6 +408,62 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int,
               .select("_id", F.explode(grams).alias("gram")))
 
 
+def _doc_gram_entries_arrow(df: DataFrame, id_col: str, text_col: str,
+                            n: int, with_gram: bool) -> DataFrame:
+    """One row per (doc, DISTINCT word n-gram) with the portable 60-bit
+    hash and the gram's position count, computed in ONE Arrow stage:
+    split, sliding windows, dedup and md5 all run batch-side in the
+    Python worker (hashlib md5 is bit-identical to JVM/DuckDB md5; the
+    split/window construction mirrors F.split(' ')/sequence/slice
+    exactly — Python str.split(' ') keeps leading/trailing/consecutive
+    empties just like the JVM regex split).  Replaces two interpreted
+    higher-order-function passes (distinct + positional gram streams)
+    per consumer.  Distinctness is per GRAM STRING (then hashed), so
+    intra-doc 60-bit collisions produce two entries with one hash —
+    the exact multiplicity the JVM array_distinct path emitted.
+
+    Returns (_id, gram_hash, [gram,] cnt); docs with fewer than n
+    words (or NULL text) contribute no rows, like the size(_w) >= n
+    filter."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = ("array<struct<h:bigint,g:string,c:int>>" if with_gram
+             else "array<struct<h:bigint,c:int>>")
+
+    @pandas_udf(out_t)
+    def entries(texts: pd.Series) -> pd.Series:
+        res = []
+        for text in texts:
+            if text is None:
+                res.append([])
+                continue
+            w = text.split(" ")
+            if len(w) < n:
+                res.append([])
+                continue
+            counts: dict = {}
+            for i in range(len(w) - n + 1):
+                g = " ".join(w[i:i + n])
+                counts[g] = counts.get(g, 0) + 1
+            if with_gram:
+                res.append([(_py_hash60(g), g, c)
+                            for g, c in counts.items()])
+            else:
+                res.append([(_py_hash60(g), c)
+                            for g, c in counts.items()])
+        return pd.Series(res)
+
+    from m3spark.ops.repart import widen_partitions
+
+    base = widen_partitions(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    e = base.select("_id", F.explode(entries(F.col(text_col))).alias("e"))
+    cols = ["_id", F.col("e.h").alias("gram_hash")]
+    if with_gram:
+        cols.append(F.col("e.g").alias("gram"))
+    return e.select(*cols, F.col("e.c").alias("cnt"))
+
+
 def substring_dup_passages(df: DataFrame, id_col: str, text_col: str,
                            n: int = 8, min_docs: int = 2,
                            hash_fn: str = "xxhash64") -> DataFrame:
@@ -386,14 +489,21 @@ def substring_dup_passages(df: DataFrame, id_col: str, text_col: str,
     handling applies on the single hash-keyed shuffle.  64-bit hash
     collisions conflate grams (standard for this op; the exemplar
     shows one survivor).  ``hash_fn='portable'`` uses the md5-60bit
-    hash (ops.phash) so DuckDB reproduces every key.  No reference
-    analog (m3 has no dedup); training-data mandate."""
-    from m3spark.ops.phash import portable_hash60
+    hash so DuckDB reproduces every key, and (r8) computes the per-doc
+    distinct gram entries in one Arrow batch stage instead of two
+    interpreted higher-order-function passes — same rows, same hashes
+    (_doc_gram_entries_arrow).  No reference analog (m3 has no dedup);
+    training-data mandate."""
+    if hash_fn == "portable":
+        ex = _doc_gram_entries_arrow(df, id_col, text_col, n,
+                                     with_gram=True)
+        return (ex.groupBy("gram_hash")
+                  .agg(F.min("gram").alias("gram"),
+                       F.count(F.lit(1)).alias("n_docs"))
+                  .where(F.col("n_docs") >= min_docs))
 
     grams = _doc_grams(df, id_col, text_col, n, distinct_per_doc=True)
-    h = (portable_hash60(F.col("gram")) if hash_fn == "portable"
-         else F.xxhash64("gram"))
-    return (grams.select(h.alias("gram_hash"), "gram")
+    return (grams.select(F.xxhash64("gram").alias("gram_hash"), "gram")
                  .groupBy("gram_hash")
                  .agg(F.min("gram").alias("gram"),
                       F.count(F.lit(1)).alias("n_docs"))
@@ -408,27 +518,43 @@ def substring_dup_fraction(df: DataFrame, id_col: str, text_col: str,
     dup_fraction is the share of the doc's gram POSITIONS whose gram
     occurs in >= ``min_docs`` documents corpus-wide.
 
-    Scale shape: the corpus-duplicated gram set is computed hash-keyed
-    (see :func:`substring_dup_passages`, here without the exemplar so
-    the dup-set shuffle carries (hash, count) only); the per-position
-    stream carries (doc_id, hash) — 16 bytes/row — into a hash-keyed
-    left-semi-style join (AQE broadcasts the dup set when small,
-    sort-merges co-partitioned on the hash otherwise), then one
-    doc-keyed count.  Nothing ever shuffles gram strings."""
-    from m3spark.ops.phash import portable_hash60
+    Scale shape (r8, portable): ONE Arrow pass builds the per-doc
+    (distinct gram hash, position count) entries
+    (_doc_gram_entries_arrow) — the r7 shape rebuilt the full gram
+    stream TWICE (distinct for the dup set, positional for the
+    fraction) through interpreted higher-order functions.  The
+    corpus-wide per-gram doc count then rides a window over the single
+    hash-keyed shuffle (count of (doc, distinct-gram) entries per
+    hash — identical to the old dup-set aggregate), and the doc-keyed
+    sum of position counts replaces the positional join.  Nothing
+    ever shuffles gram strings, and the entry stream is smaller than
+    the old positional stream (distinct grams vs positions).
 
-    def h(c):
-        return (portable_hash60(F.col(c)) if hash_fn == "portable"
-                else F.xxhash64(c))
+    ``hash_fn='xxhash64'`` keeps the JVM two-stream shape."""
+    if hash_fn == "portable":
+        from pyspark.sql import Window
+
+        ex = _doc_gram_entries_arrow(df, id_col, text_col, n,
+                                     with_gram=False)
+        nd = F.count(F.lit(1)).over(Window.partitionBy("gram_hash"))
+        marked = ex.select("_id", "cnt", (nd >= min_docs).alias("_dup"))
+        return (marked.groupBy(F.col("_id").alias("doc_id"))
+                      .agg(F.sum("cnt").alias("n_grams"),
+                           F.sum(F.when(F.col("_dup"), F.col("cnt"))
+                                  .otherwise(0)).alias("n_dup_grams"))
+                      .select("doc_id", "n_grams", "n_dup_grams",
+                              F.round(F.col("n_dup_grams")
+                                      / F.col("n_grams"), 6)
+                               .alias("dup_fraction")))
 
     dup = (_doc_grams(df, id_col, text_col, n, distinct_per_doc=True)
-           .select(h("gram").alias("gram_hash"))
+           .select(F.xxhash64("gram").alias("gram_hash"))
            .groupBy("gram_hash")
            .agg(F.count(F.lit(1)).alias("_nd"))
            .where(F.col("_nd") >= min_docs)
            .select("gram_hash"))
     pos = (_doc_grams(df, id_col, text_col, n, distinct_per_doc=False)
-           .select("_id", h("gram").alias("gram_hash")))
+           .select("_id", F.xxhash64("gram").alias("gram_hash")))
     marked = pos.join(dup.withColumn("_dup", F.lit(1)),
                       "gram_hash", "left")
     return (marked.groupBy(F.col("_id").alias("doc_id"))

@@ -508,7 +508,10 @@ def _binary_stats_op(df: DataFrame, binary_col: str, id_col: str,
                 out[f.name] = col
             yield out
 
-    return df.select(id_col, binary_col).mapInPandas(run, out_schema)
+    from m3spark.ops.repart import widen_partitions
+
+    return widen_partitions(df.select(id_col, binary_col)) \
+        .mapInPandas(run, out_schema)
 
 
 def decode_audio_samples(df: DataFrame, binary_col: str,

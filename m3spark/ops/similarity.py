@@ -100,8 +100,12 @@ def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window
 
-    feat = df.select(F.col(id_col), F.col(vec_col),
-                     array_to_vector(F.col(vec_col)).alias("_feat"))
+    from m3spark.ops.repart import widen_partitions
+
+    feat = widen_partitions(
+        df.select(F.col(id_col), F.col(vec_col))) \
+        .select(F.col(id_col), F.col(vec_col),
+                array_to_vector(F.col(vec_col)).alias("_feat"))
     train = feat if train_fraction >= 1.0 else feat.sample(
         fraction=train_fraction, seed=seed)
     if train_fraction < 1.0 and \
@@ -131,14 +135,54 @@ def ivf_topk_queries(df: DataFrame, queries_df: DataFrame, k: int,
              .select(q_id_col, q_vec_col, F.col("_cid")))
     cand = assigned.join(F.broadcast(probe),
                          assigned["_cluster"] == probe["_cid"])
-    cos = F.when((_norm(F.col(q_vec_col)) > 0) & (_norm(F.col(vec_col)) > 0),
-                 _dot(F.col(q_vec_col), F.col(vec_col)) / (
-                     _norm(F.col(q_vec_col)) * _norm(F.col(vec_col))))
-    ranked = (cand.select(q_id_col, id_col, F.round(cos, 6).alias("cosine"))
+    # candidate scoring is the volume stage (|probed lists| x queries
+    # rows): Arrow-vectorized rowwise cosine instead of interpreted
+    # zip_with/aggregate per row (guide §4.2)
+    cos = _cos_pairs_arrow(F.col(q_vec_col), F.col(vec_col))
+    ranked = (cand.select(q_id_col, id_col, cos.alias("cosine"))
               .withColumn("rank", F.row_number().over(
                   Window.partitionBy(q_id_col)
                         .orderBy(F.col("cosine").desc(), F.col(id_col)))))
     return ranked.where(F.col("rank") <= k)
+
+
+def _cos_pairs_arrow(a_col, b_col):
+    """Rowwise cosine over two array<double> columns, Arrow-vectorized
+    (one batched einsum instead of interpreted zip_with/aggregate per
+    row — higher-order functions are CodegenFallback, ~30us/row).
+    Mirrors the JVM guard `when(norm(a)>0 and norm(b)>0, ...)`: NULL
+    when either norm fails the guard (zero-norm or null/ragged input),
+    rounded to 6dp HALF_UP like F.round.  One documented divergence:
+    a vector containing NaN elements yields NULL here (pandas float64
+    cannot carry NaN distinct from null through Arrow) where the JVM
+    would yield NaN — unreachable for real embedding data and
+    irrelevant to rank membership in the planted-recall contract."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos2(a: pd.Series, b: pd.Series) -> pd.Series:
+        res = np.full(len(a), np.nan)
+        if len(a) == 0:
+            return pd.Series(res)
+        good = np.asarray(
+            [x is not None and y is not None and len(x) == len(y)
+             for x, y in zip(a, b)])
+        if good.any():
+            A = np.asarray([np.asarray(x, dtype="float64")
+                            for x in a[good]])
+            B = np.asarray([np.asarray(x, dtype="float64")
+                            for x in b[good]])
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = (A * B).sum(axis=1) / (na * nb)
+            c = np.copysign(np.floor(np.abs(c) * 1e6 + 0.5), c) / 1e6
+            res[np.flatnonzero(good)] = np.where(
+                (na > 0) & (nb > 0), c, np.nan)
+        return pd.Series(res)
+
+    return cos2(a_col, b_col)
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
@@ -229,12 +273,15 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
     Arrow batch (lsh_buckets_arrow); ``'jvm'`` keeps the pure-Column
     expression path (zero Python, right for small table counts)."""
     if engine == "arrow":
-        tb = (df.select(F.col(id_col).alias("_id"),
-                        F.col(vec_col).alias("_v"),
-                        F.posexplode(
-                            lsh_buckets_arrow(F.col(vec_col), dim,
-                                              n_planes, n_tables, seed))
-                         .alias("t", "bucket")))
+        from m3spark.ops.repart import widen_partitions
+
+        base = widen_partitions(df.select(F.col(id_col).alias("_id"),
+                                          F.col(vec_col).alias("_v")))
+        tb = (base.select("_id", "_v",
+                          F.posexplode(
+                              lsh_buckets_arrow(F.col("_v"), dim,
+                                                n_planes, n_tables, seed))
+                           .alias("t", "bucket")))
     else:
         buckets = F.array(*[
             F.struct(F.lit(t).alias("t"),
@@ -329,8 +376,10 @@ def _fixed_assign(df: DataFrame, vec_col: str, id_col: str,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    inner = df.select(F.col(id_col).alias("_id"),
-                      F.col(vec_col).alias("_v"))
+    from m3spark.ops.repart import widen_partitions
+
+    inner = widen_partitions(df.select(F.col(id_col).alias("_id"),
+                                       F.col(vec_col).alias("_v")))
     if not cents:
         return inner.select("_id", "_v",
                             F.lit(None).cast("long").alias("_cluster"))
