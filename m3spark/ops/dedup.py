@@ -161,11 +161,50 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     batch computation with NO shuffle at all.  Per-doc work is bounded
     by text length, so the stage carries no skew.
 
-    ``hash_fn='xxhash64'`` keeps the JVM explode-then-aggregate shape:
-    shingles computed once per row, then num_hashes MIN aggregates with
-    map-side partial combine — one shuffle of one row per doc.  (The
-    expression-only alternative — num_hashes array_min(transform(...))
-    — recomputes the shingle array per salt: ~30x the work.)"""
+    ``hash_fn='xxhash64'`` (r8) uses the same Arrow shape with the
+    NumPy-vectorized XXH64 (ops/xxh64_vec.py — bit-identical to the
+    JVM expression, fuzz-pinned against the tested scalar mirror):
+    one length-bucketed batch hash per distinct shingle, one fused
+    (shingles x salts) salt-chain matrix, segment-min per doc.  The
+    former JVM shape exploded the shingle stream through interpreted
+    higher-order functions and shuffled it into a 32-way MIN
+    aggregate."""
+    if hash_fn == "xxhash64":
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        from m3spark.ops.repart import widen_partitions
+        from m3spark.ops.xxh64_vec import xxh64_int_chain, xxh64_str42
+
+        salts = np.arange(num_hashes, dtype=np.int64)
+
+        @pandas_udf("array<bigint>")
+        def sig_fast(texts: pd.Series) -> pd.Series:
+            shingles: list = []
+            offsets = [0]
+            for text in texts:
+                if text is None:
+                    # xxhash64 skips a NULL child: the lone exploded
+                    # null shingle hashes as just the int salt
+                    shingles.append(None)
+                else:
+                    m = max(len(text) - (k - 1), 1)
+                    shingles.extend({text[i:i + k]
+                                     for i in range(0, m, stride)})
+                offsets.append(len(shingles))
+            if not shingles:
+                return pd.Series([], dtype=object)
+            h1 = xxh64_str42(shingles)
+            sig = xxh64_int_chain(h1, salts)
+            mins = np.minimum.reduceat(sig, np.asarray(offsets[:-1]),
+                                       axis=0)
+            return pd.Series(list(mins.tolist()))
+
+        base = widen_partitions(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+        return base.select("_id",
+                           sig_fast(F.col(text_col)).alias("signature"))
+
     if hash_fn == "portable":
         import numpy as np
         from pyspark.sql.functions import pandas_udf
@@ -203,18 +242,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             df.select(F.col(id_col).alias("_id"), F.col(text_col)))
         return base.select("_id", sig(F.col(text_col)).alias("signature"))
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), k, stride)).alias("shingle"))
-
-    def h(i):
-        return F.xxhash64(F.col("shingle"), F.lit(i))
-
-    aggs = [F.min(h(i)).alias(f"_h{i}") for i in range(num_hashes)]
-    return (sh.groupBy("_id").agg(*aggs)
-              .select("_id", F.array(*[F.col(f"_h{i}")
-                                       for i in range(num_hashes)])
-                      .alias("signature")))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} "
+                     "(expected 'xxhash64' or 'portable')")
 
 
 def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -324,9 +353,35 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
 
     Returns one row per node seen in ``pairs``: cluster_id is the
     smallest doc id of the component, is_canonical marks the keeper.
+    The returned DataFrame carries the final materialized edge set as
+    ``.cached_edges`` — long-lived sessions that loop over corpora
+    should call ``result.cached_edges.unpersist()`` once the result is
+    consumed (targeted release, mirroring jaccard_pairs; note the
+    attribute lives only on the object returned HERE, not on derived
+    DataFrames).  Doc ids must be numeric (or numeric strings): the
+    ids are cast to long and rows whose cast nulls out are dropped —
+    a non-numeric id column raises instead of silently emitting an
+    empty result.  Convergence is checked every TWO rounds (half the
+    blocking materialize+collect barriers; a converged graph is a
+    fixpoint of both stars, so the extra round is a no-op on the edge
+    set); exhausting ``max_iter`` without a stable fingerprint warns —
+    partially-converged labels would silently corrupt the keep/drop
+    decision.
     No reference analog (m3 has no dedup); training-data mandate.
     """
+    import warnings
+
     from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    for c in (id_a, id_b):
+        dt = pairs.schema[c].dataType
+        if not isinstance(dt, (T.NumericType, T.StringType)):
+            raise TypeError(
+                f"dedup_clusters: id column {c!r} has type "
+                f"{dt.simpleString()}; numeric (or numeric-string) doc "
+                f"ids are required — a non-numeric id casts to NULL "
+                f"and would silently drop every edge")
 
     spark = pairs.sparkSession
     edges = (pairs.select(F.col(id_a).cast("long").alias("u"),
@@ -370,14 +425,33 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     cur = _materialize(edges)
     fp = _fingerprint(cur)
     prev_handle = cur
-    for _ in range(max_iter):
-        nxt = _materialize(small_star(large_star(cur)))
+    it = 0
+    converged = False
+    while it < max_iter:
+        # two alternating rounds per materialize+fingerprint barrier:
+        # halves the blocking collects and checkpoint jobs; the
+        # fixpoint is stable under extra rounds, so the result set is
+        # unchanged
+        step = small_star(large_star(cur))
+        it += 1
+        if it < max_iter:
+            step = small_star(large_star(step))
+            it += 1
+        nxt = _materialize(step)
         nfp = _fingerprint(nxt)
         prev_handle.unpersist()
         cur, prev_handle = nxt, nxt
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged and max_iter > 0:
+        warnings.warn(
+            f"dedup_clusters: fingerprint did not stabilize within "
+            f"max_iter={max_iter} rounds — emitted labels may not be "
+            f"a fixpoint (nodes can carry non-minimal cluster_ids); "
+            f"raise max_iter",
+            RuntimeWarning, stacklevel=2)
 
     # fixpoint star forest: u -> component min; roots appear only as v
     labels = cur.select(F.col("u").alias("doc_id"),
@@ -385,10 +459,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     roots = (cur.select(F.col("v").alias("doc_id"),
                         F.col("v").alias("cluster_id"))
                 .distinct())
-    return (labels.union(roots).distinct()
-                  .select("doc_id", "cluster_id",
-                          (F.col("doc_id") == F.col("cluster_id"))
-                          .alias("is_canonical")))
+    res = (labels.union(roots).distinct()
+                 .select("doc_id", "cluster_id",
+                         (F.col("doc_id") == F.col("cluster_id"))
+                         .alias("is_canonical")))
+    # handle for targeted cache release (see docstring)
+    res.cached_edges = cur
+    return res
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int,

@@ -338,6 +338,31 @@ def test_dedup_clusters_dirty_input(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
 
 
+def test_dedup_clusters_id_type_guard_and_cache_handle(spark):
+    """r8: a non-numeric id column raises (instead of silently casting
+    every edge to NULL and returning an empty result), numeric-string
+    ids still work, and the returned DataFrame exposes the final
+    materialized edge set for targeted unpersist."""
+    import pytest
+
+    from m3spark.ops import dedup_clusters
+
+    bad = spark.createDataFrame([([1], [2])],
+                                "id_a array<long>, id_b array<long>")
+    with pytest.raises(TypeError, match="numeric"):
+        dedup_clusters(bad)
+
+    ok = spark.createDataFrame([("1", "2"), ("2", "3")],
+                               "id_a string, id_b string")
+    res = dedup_clusters(ok)
+    got = {r["doc_id"]: r["cluster_id"] for r in res.collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    # the handle is the final materialized (localCheckpointed) edge
+    # set; unpersist is a safe no-op release hook either way
+    assert set(res.cached_edges.columns) == {"u", "v"}
+    res.cached_edges.unpersist()
+
+
 def test_substring_dup_hashed_key_twins(spark):
     """r7: the aggregate is keyed on the 8-byte gram hash; the
     xxhash64 production twin and the portable (oracle) twin must agree
