@@ -1053,9 +1053,18 @@ class ColumnarValidator:
 
         if "minLength" in sub:
             v = sub["minLength"]
+            if isinstance(v, int) and not isinstance(v, bool) and v <= 1:
+                # chars >= 1 iff bytes >= 1 (every codepoint is at
+                # least one UTF-8 byte; v=0 is trivially true either
+                # way) — octet_length skips the per-row UTF-8
+                # codepoint walk F.length pays (~1s/10M rows on the
+                # pages flagship)
+                ml = lambda col, dt, _v=v: F.octet_length(col) >= _v
+            else:
+                ml = lambda col, dt, _v=v: F.length(col) >= _v
             self._add(name, "minLength", f"{sp}/minLength",
                       f"string shorter than {v}", "error",
-                      _string_only(lambda col, dt, _v=v: F.length(col) >= _v))
+                      _string_only(ml))
         if "maxLength" in sub:
             v = sub["maxLength"]
             self._add(name, "maxLength", f"{sp}/maxLength",

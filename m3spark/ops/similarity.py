@@ -272,12 +272,13 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
     ``engine='arrow'`` (default) hashes with one vectorized matmul per
     Arrow batch (lsh_buckets_arrow); ``'jvm'`` keeps the pure-Column
     expression path (zero Python, right for small table counts)."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v"))
     if engine == "arrow":
         from m3spark.ops.repart import widen_partitions
 
-        base = widen_partitions(df.select(F.col(id_col).alias("_id"),
-                                          F.col(vec_col).alias("_v")))
-        tb = (base.select("_id", "_v",
+        base = widen_partitions(base)
+        tb = (base.select("_id",
                           F.posexplode(
                               lsh_buckets_arrow(F.col("_v"), dim,
                                                 n_planes, n_tables, seed))
@@ -285,23 +286,30 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
     else:
         buckets = F.array(*[
             F.struct(F.lit(t).alias("t"),
-                     lsh_bucket(F.col(vec_col), dim, n_planes,
+                     lsh_bucket(F.col("_v"), dim, n_planes,
                                 seed + 1000 * t).alias("bucket"))
             for t in range(n_tables)])
-        tb = (df.select(F.col(id_col).alias("_id"),
-                        F.col(vec_col).alias("_v"),
-                        F.explode(buckets).alias("tb"))
-                .select("_id", "_v", F.col("tb.t").alias("t"),
-                        F.col("tb.bucket").alias("bucket")))
+        tb = (base.select("_id", F.explode(buckets).alias("tb"))
+                  .select("_id", F.col("tb.t").alias("t"),
+                          F.col("tb.bucket").alias("bucket")))
+    # r8 (guide §8): the bucket self-join carries only (id, table,
+    # bucket) — the r7 shape shipped n_tables COPIES of every vector
+    # through the join shuffle.  The heavy payload is re-attached to
+    # the (much smaller) distinct pair set afterwards, so each vector
+    # crosses a shuffle once per join side instead of once per table.
+    # (For inputs with duplicate ids the old distinct was over
+    # (id, id, vec, vec); ids are the entity keys here.)
     a, b = tb.alias("a"), tb.alias("b")
-    return (a.join(b, (F.col("a.t") == F.col("b.t"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a._id") < F.col("b._id")))
-             .select(F.col("a._id").alias("id_a"),
-                     F.col("b._id").alias("id_b"),
-                     F.col("a._v").alias("v_a"),
-                     F.col("b._v").alias("v_b"))
-             .distinct())
+    pairs = (a.join(b, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col("a._id") < F.col("b._id")))
+              .select(F.col("a._id").alias("id_a"),
+                      F.col("b._id").alias("id_b"))
+              .distinct())
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+                 .select("id_a", "id_b", "v_a", "v_b"))
 
 
 def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,

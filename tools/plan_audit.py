@@ -31,6 +31,15 @@ EXPECTED_SHUFFLES = {
     # connected components: per-round keyed window + distinct (the
     # audited plan is the post-fixpoint labels read, already collapsed)
     "dedup_clusters_documents",
+    # r8: widen_partitions raises Python-stage parallelism when the
+    # scan yields fewer splits than cores — a round-robin exchange
+    # that is a no-op at real scale (ops/repart.py); it shows as one
+    # Exchange at the tiny audit SF
+    "simhash_documents", "ann_ivf_fixed_embeddings",
+    "ann_ivf_fixed_persisted",
+    "multimodal_features", "multimodal_image_headers",
+    "multimodal_pixel_stats", "multimodal_jpeg_stats",
+    "multimodal_audio_stats",
 }
 # queries that legitimately cross into Python (Arrow-batched)
 EXPECTED_PYTHON = {"multimodal_features",
@@ -39,7 +48,16 @@ EXPECTED_PYTHON = {"multimodal_features",
                    "dedup_embedding_lsh", "lsh_ann_embeddings",
                    # full pixel/sample decode (declared Arrow stages)
                    "multimodal_pixel_stats", "multimodal_jpeg_stats",
-                   "multimodal_audio_stats"}
+                   "multimodal_audio_stats",
+                   # r8 Arrow-vectorized hot paths (guide §4.2): per-doc
+                   # minhash signatures / gram entries / simhash votes,
+                   # IVF codebook assignment + candidate cosine scoring
+                   "minhash_pairs_documents", "minhash_pairs_fast",
+                   "dedup_substring_documents",
+                   "dedup_passage_fraction_documents",
+                   "dedup_clusters_documents", "simhash_documents",
+                   "ann_ivf_embeddings", "ann_ivf_fixed_embeddings",
+                   "ann_ivf_fixed_persisted"}
 
 
 def _count_executing_exchanges(plan: str) -> int:
