@@ -12,11 +12,42 @@ past the first Project)."""
 
 from __future__ import annotations
 
+import copy
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from m3spark.columnar import ColumnarValidator
 from m3spark.pages import PAGES_SCHEMA
+
+
+def _heavy_null_only_cols(schema: dict, pages: DataFrame, key_col: str,
+                          partition_expr: str) -> list[str]:
+    """Binary columns whose ONLY constraint is top-level ``required`` —
+    i.e. the validator needs nothing but their NULLness.  Reading a blob
+    column to answer ``IS NOT NULL`` is the single largest scan cost of
+    the flagship job (the html bytes are >half the table), and parquet
+    row-group ``null_count`` statistics answer ``IS NULL`` without
+    touching the data pages.  Conservative structural gate: only plain
+    object schemas (type/required/properties and annotations), only
+    columns not referenced by properties, the key, or the partition
+    expression, and only binary payloads (pruning a cheap string column
+    is not worth the second scan)."""
+    if set(schema) - {"$schema", "$id", "type", "required", "properties"}:
+        return []
+    if schema.get("type") not in (None, "object"):
+        return []
+    req = schema.get("required")
+    if (not isinstance(req, list)
+            or not all(isinstance(r, str) for r in req)
+            or any(r not in pages.columns for r in req)):
+        return []
+    props = schema.get("properties") or {}
+    dtypes = dict(pages.dtypes)
+    return [c for c in req
+            if c not in props and c != key_col
+            and c not in partition_expr
+            and dtypes.get(c) == "binary"]
 
 
 def validate_pages(pages: DataFrame, schema: dict | None = None,
@@ -53,26 +84,88 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
     # survivors.  A row with an empty violations array is always valid
     # (valid := no error-level violations), so the filter loses
     # nothing.
+    #
+    # r8b: blob columns whose only constraint is `required` never enter
+    # the value scan at all.  The html payload is >half the table's
+    # bytes, yet the validator only needs `html IS NOT NULL`; so the
+    # value checks run over pages.drop(html) (ReadSchema excludes the
+    # blob), and the required-on-html violations come from a separate
+    # `WHERE html IS NULL` scan whose pushed IsNull filter skips every
+    # row group with null_count == 0 — a footer-only read on clean
+    # data.  The heavy scan runs cv.apply with the FULL schema, so the
+    # violation structs for heavy-null rows (including the to_json row
+    # render) are bit-identical to the single-scan path.  Verdict
+    # arithmetic composes without overlap: the value scan counts rows
+    # with value-check errors (it still sees heavy-null rows — their
+    # other columns are intact), the heavy scan adds only heavy-null
+    # rows with NO value-check error.  One documented render nuance:
+    # a required violation on a NON-heavy column (a null url/ts/text)
+    # renders its row-document `value` from the pruned projection, so
+    # the heavy field's base64 no longer appears in that truncated
+    # debug string (identical whenever the heavy column is itself
+    # null, since to_json omits nulls).
+    heavy = _heavy_null_only_cols(schema, pages, key_col, partition_expr)
+    cv_light, light = cv, pages
+    if heavy:
+        lschema = copy.deepcopy(schema)
+        lschema["required"] = [r for r in schema["required"]
+                               if r not in heavy]
+        cv_light = ColumnarValidator(lschema,
+                                     format_assertion=format_assertion)
+        light = pages.drop(*heavy)
     try:
-        bad = cv.violation_prefilter(pages)
+        bad = cv_light.violation_prefilter(light)
     except ValueError:
-        bad = pages
-    slim = cv.apply(bad).select(
+        bad = light
+    slim = cv_light.apply(bad).select(
         F.col(key_col),
         F.expr(partition_expr).alias("partition_key"),
         "valid", "violations").where(F.size("violations") > 0)
     if persist:
         slim = slim.persist()
 
-    viol = (slim.select(F.col(key_col), "partition_key",
-                        F.explode("violations").alias("v"))
-                .select(key_col, "partition_key",
-                        F.col("v.keyword").alias("keyword"),
-                        F.col("v.schema_path").alias("schema_path"),
-                        F.col("v.doc_path").alias("doc_path"),
-                        F.col("v.message").alias("message"),
-                        F.col("v.level").alias("level"),
-                        F.col("v.value").alias("value")))
+    slim_heavy = None
+    if heavy:
+        null_any = F.col(heavy[0]).isNull()
+        for c in heavy[1:]:
+            null_any = null_any | F.col(c).isNull()
+        heavy_msgs = [f"required property {c!r} missing" for c in heavy]
+
+        def _is_heavy_req(v):
+            return ((v["keyword"] == "required")
+                    & (v["doc_path"] == "")
+                    & v["message"].isin(heavy_msgs))
+
+        # reuse the already-built full-apply tree (a second cv.apply
+        # costs ~0.5 s of py4j expression construction per call); the
+        # IsNull filter commutes with the row-wise projection and is
+        # pushed below it into the parquet scan
+        hv = rows.where(null_any)
+        slim_heavy = (hv.select(
+            F.col(key_col),
+            F.expr(partition_expr).alias("partition_key"),
+            F.filter("violations", _is_heavy_req).alias("hviols"),
+            F.exists("violations",
+                     lambda v: (v["level"] == "error")
+                     & ~_is_heavy_req(v)).alias("other_err"))
+            .where(F.size("hviols") > 0))
+        if persist:
+            slim_heavy = slim_heavy.persist()
+
+    def _explode_viols(df, arr_col):
+        return (df.select(F.col(key_col), "partition_key",
+                          F.explode(arr_col).alias("v"))
+                  .select(key_col, "partition_key",
+                          F.col("v.keyword").alias("keyword"),
+                          F.col("v.schema_path").alias("schema_path"),
+                          F.col("v.doc_path").alias("doc_path"),
+                          F.col("v.message").alias("message"),
+                          F.col("v.level").alias("level"),
+                          F.col("v.value").alias("value")))
+
+    viol = _explode_viols(slim, "violations")
+    if slim_heavy is not None:
+        viol = viol.unionByName(_explode_viols(slim_heavy, "hviols"))
     if with_uniqueness:
         dups = (pages.groupBy(F.col(key_col))
                      .agg(F.count(F.lit(1)).alias("dup_count"))
@@ -101,7 +194,26 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
                               F.coalesce("_invalid", F.lit(0))
                                .cast("long").alias("invalid_rows"),
                               F.coalesce("_vcount", F.lit(0))
-                               .cast("long").alias("violation_count"))
-                      .withColumn("passed", F.col("invalid_rows") == 0))
-    return {"rows": rows, "slim": slim, "violations": viol,
-            "partition_verdicts": verdicts, "validator": cv}
+                               .cast("long").alias("violation_count")))
+    if slim_heavy is not None:
+        # heavy-null rows add their required violations, and count as
+        # newly-invalid only when the value scan saw no error for them
+        # (no row is counted twice; error-level heavy violations only)
+        hagg = (slim_heavy.groupBy("partition_key")
+                .agg(F.sum((F.exists("hviols",
+                                     lambda v: v["level"] == "error")
+                            & ~F.col("other_err")).cast("long"))
+                      .alias("_hinvalid"),
+                     F.sum(F.size("hviols")).alias("_hvcount")))
+        verdicts = (verdicts.join(hagg, "partition_key", "left")
+                    .select("partition_key", "rows_scanned",
+                            (F.col("invalid_rows")
+                             + F.coalesce("_hinvalid", F.lit(0)))
+                            .cast("long").alias("invalid_rows"),
+                            (F.col("violation_count")
+                             + F.coalesce("_hvcount", F.lit(0)))
+                            .cast("long").alias("violation_count")))
+    verdicts = verdicts.withColumn("passed", F.col("invalid_rows") == 0)
+    return {"rows": rows, "slim": slim, "slim_heavy": slim_heavy,
+            "violations": viol, "partition_verdicts": verdicts,
+            "validator": cv}

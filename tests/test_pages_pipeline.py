@@ -57,6 +57,76 @@ def test_planted_anomaly_rates(pages):
     assert "pattern" not in by_kw             # all urls are https://
 
 
+def test_heavy_split_scan_shape(spark, tmp_path):
+    """r8: the value scan must not read the html blob (its only
+    constraint is `required`), and the required-on-html scan must push
+    IsNull(html) to parquet so row-group null_count stats skip clean
+    data entirely."""
+    path = str(tmp_path / "pages.parquet")
+    generate_pages(spark, 2000).write.parquet(path)
+    pages = spark.read.parquet(path)
+    res = validate_pages(pages)
+    assert res["slim_heavy"] is not None
+    slim_plan = res["slim"]._jdf.queryExecution().executedPlan().toString()
+    assert "html" not in slim_plan.split("ReadSchema:")[-1]
+    heavy_plan = (res["slim_heavy"]._jdf.queryExecution()
+                  .executedPlan().toString())
+    assert "IsNull(html)" in heavy_plan
+
+
+def test_heavy_split_exact_on_nulls(spark):
+    """Verdicts and violation identities from the split path must be
+    bit-identical to the single full-apply semantics on dirty data:
+    nulls in html (the heavy column), in the light columns, and in
+    combinations — no double-counted invalid rows, no lost required
+    violations."""
+    base = generate_pages(spark, 4000)
+    sid = F.xxhash64("url")
+    dirty = base.select(
+        F.when(F.abs(sid) % 97 == 0, F.lit(None))
+         .otherwise(F.col("url")).alias("url"),
+        F.col("warc_ts"),
+        F.when(F.abs(sid) % 11 == 2, F.lit(None).cast("binary"))
+         .otherwise(F.col("html")).alias("html"),
+        F.when(F.abs(sid) % 83 == 3, F.lit(None))
+         .otherwise(F.col("text")).alias("text"),
+        F.col("lang")).cache()
+    try:
+        res = validate_pages(dirty)
+        rows = res["rows"]  # untouched full-apply ground truth
+        exp = (dirty.groupBy(F.to_date("warc_ts").alias("partition_key"))
+                    .agg(F.count(F.lit(1)).alias("rows_scanned"))
+               .join(rows.select(
+                         F.to_date("warc_ts").alias("partition_key"),
+                         "valid", "violations")
+                     .groupBy("partition_key")
+                     .agg(F.sum((~F.col("valid")).cast("long")).alias("_i"),
+                          F.sum(F.size("violations")).alias("_v")),
+                     "partition_key", "left")
+               .select("partition_key", "rows_scanned",
+                       F.coalesce("_i", F.lit(0)).cast("long")
+                        .alias("invalid_rows"),
+                       F.coalesce("_v", F.lit(0)).cast("long")
+                        .alias("violation_count"))
+               .withColumn("passed", F.col("invalid_rows") == 0))
+        got = res["partition_verdicts"]
+        assert exp.exceptAll(got).count() == 0
+        assert got.exceptAll(exp).count() == 0
+        # violation identity (sans the truncated debug render, which on
+        # light-required rows comes from the pruned projection)
+        exp_v = (rows.select("url", F.explode("violations").alias("v"))
+                 .select("url", "v.keyword", "v.schema_path",
+                         "v.doc_path", "v.message", "v.level"))
+        got_v = (res["violations"]
+                 .where(F.col("keyword") != "uniqueItems")
+                 .select("url", "keyword", "schema_path", "doc_path",
+                         "message", "level"))
+        assert exp_v.exceptAll(got_v).count() == 0
+        assert got_v.exceptAll(exp_v).count() == 0
+    finally:
+        dirty.unpersist()
+
+
 def test_partition_verdicts(pages):
     res = validate_pages(pages)
     v = res["partition_verdicts"]
