@@ -255,10 +255,18 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
     agreement (estimated Jaccard).  Join is on (band, bucket-hash) —
     bounded fan-out, scales to billions of docs.  With
     ``hash_fn='portable'`` the band bucket is md5 of the comma-joined
-    band slice, reproducible in DuckDB."""
+    band slice, reproducible in DuckDB.
+
+    The signature table is persisted: the band self-join evaluates its
+    input once per side (the broadcast build defeats exchange reuse),
+    so without the cache the whole Arrow signature stage — the
+    pipeline's dominant compute — ran TWICE.  The result carries the
+    handle as ``.cached_sigs``; long-lived sessions should call
+    ``result.cached_sigs.unpersist()`` once consumed (the
+    jaccard_pairs ``cached_shingles`` convention)."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, stride,
-                              hash_fn=hash_fn)
+                              hash_fn=hash_fn).persist()
 
     def bucket_of(b):
         sl = F.slice(F.col("signature"), b * rows_per_band + 1,
@@ -291,9 +299,12 @@ def minhash_pairs(df: DataFrame, id_col: str, text_col: str,
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
         lambda m: m))
-    return cand.select(
+    res = cand.select(
         "id_a", "id_b",
         F.round(agree / F.lit(num_hashes), 6).alias("est_jaccard"))
+    # handle for targeted cache release (see docstring)
+    res.cached_sigs = sigs
+    return res
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

@@ -271,7 +271,13 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
 
     ``engine='arrow'`` (default) hashes with one vectorized matmul per
     Arrow batch (lsh_buckets_arrow); ``'jvm'`` keeps the pure-Column
-    expression path (zero Python, right for small table counts)."""
+    expression path (zero Python, right for small table counts).
+
+    The (id, table, bucket) stream is persisted before the self-join:
+    the broadcast build side defeats exchange reuse, so without the
+    cache the bucketize stage ran once per join side.  The result
+    carries the handle as ``.cached_buckets`` for targeted release
+    (the jaccard_pairs ``cached_shingles`` convention)."""
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).alias("_v"))
     if engine == "arrow":
@@ -299,6 +305,7 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
     # crosses a shuffle once per join side instead of once per table.
     # (For inputs with duplicate ids the old distinct was over
     # (id, id, vec, vec); ids are the entity keys here.)
+    tb = tb.persist()
     a, b = tb.alias("a"), tb.alias("b")
     pairs = (a.join(b, (F.col("a.t") == F.col("b.t"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
@@ -308,8 +315,11 @@ def lsh_candidates(df: DataFrame, vec_col: str, dim: int,
               .distinct())
     va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
     vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
-    return (pairs.join(va, "id_a").join(vb, "id_b")
-                 .select("id_a", "id_b", "v_a", "v_b"))
+    res = (pairs.join(va, "id_a").join(vb, "id_b")
+                .select("id_a", "id_b", "v_a", "v_b"))
+    # handle for targeted cache release (see docstring)
+    res.cached_buckets = tb
+    return res
 
 
 def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,
@@ -323,9 +333,12 @@ def lsh_ann_pairs(df: DataFrame, vec_col: str, dim: int,
                           seed)
     pair_cos = _dot(F.col("v_a"), F.col("v_b")) / (
         _norm(F.col("v_a")) * _norm(F.col("v_b")))
-    return (cand.select("id_a", "id_b",
-                        F.round(pair_cos, 6).alias("cosine"))
-                .where(F.col("cosine") >= min_cosine))
+    res = (cand.select("id_a", "id_b",
+                       F.round(pair_cos, 6).alias("cosine"))
+               .where(F.col("cosine") >= min_cosine))
+    # propagate the bucket-cache handle (see lsh_candidates)
+    res.cached_buckets = cand.cached_buckets
+    return res
 
 
 def ivf_topk_fixed(df: DataFrame, vec_col: str, query: list[float], k: int,
