@@ -2485,14 +2485,23 @@ class ColumnarValidator:
                 F.lit(c.message).alias("message"),
                 F.lit(c.level).alias("level"),
                 val_expr.alias("value"))
-            structs.append(F.when(~ok.eqNullSafe(True), viol))
+            structs.append((~ok.eqNullSafe(True), viol))
+        empty = F.array().cast(
+            "array<struct<keyword:string,schema_path:string,"
+            "doc_path:string,message:string,level:string,"
+            "value:string>>")
         if structs:
-            viol_arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+            # concat of per-check 0/1-element arrays instead of
+            # filter(array(...), isNotNull): higher-order functions are
+            # CodegenFallback, and one in this projection dropped the
+            # whole violation-struct assembly out of whole-stage codegen
+            # (interpreted eval per row x per check).  Result identical:
+            # filter preserves check order, and so does concat.
+            viol_arr = F.concat(*[
+                F.when(bad, F.array(viol)).otherwise(empty)
+                for bad, viol in structs])
         else:
-            viol_arr = F.array().cast(
-                "array<struct<keyword:string,schema_path:string,"
-                "doc_path:string,message:string,level:string,"
-                "value:string>>")
+            viol_arr = empty
         self._avail = set()
         df = df.withColumn(out_violations, viol_arr)
         df = df.withColumn(
