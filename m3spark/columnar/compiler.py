@@ -2506,8 +2506,12 @@ class ColumnarValidator:
         df = df.withColumn(out_violations, viol_arr)
         df = df.withColumn(
             out_valid,
-            F.size(F.filter(F.col(out_violations),
-                            lambda x: x["level"] == "error")) == 0)
+            # no error-level violation; array_contains over the
+            # extracted level field instead of size(filter(...)) — the
+            # lambda form is CodegenFallback and would drop this
+            # projection out of codegen (entries are never null, and
+            # array_contains([]) is false, so semantics are identical)
+            ~F.array_contains(F.col(out_violations)["level"], "error"))
         if added:
             df = df.drop(*added)
         return df
