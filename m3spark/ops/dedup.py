@@ -429,14 +429,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a",
     w = Window.partitionBy("u")
 
     def large_star(e):
-        # symmetrize, then hook larger neighbors to the local min
+        # symmetrize, then hook larger neighbors to the local min.
+        # No distinct here: duplicates (one per shared neighbor) do
+        # not affect the downstream small-star window-min, output rows
+        # are bounded by the symmetrized input, and small_star's own
+        # distinct resets multiplicity — dropping it removes one of
+        # the round's three shuffles.
         sym = e.union(e.select(F.col("v").alias("u"),
                                F.col("u").alias("v")))
         s = sym.select("u", "v",
                        F.least(F.min("v").over(w), F.col("u")).alias("m"))
         return (s.where(F.col("v") > F.col("u"))
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .distinct())
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
 
     def small_star(e):
         # edges already big->small, so min(N(u) + {u}) = min(N(u))
