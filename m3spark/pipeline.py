@@ -115,12 +115,21 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
         light = pages.drop(*heavy)
     try:
         bad = cv_light.violation_prefilter(light)
+        prefiltered = True
     except ValueError:
         bad = light
+        prefiltered = False
     slim = cv_light.apply(bad).select(
         F.col(key_col),
         F.expr(partition_expr).alias("partition_key"),
-        "valid", "violations").where(F.size("violations") > 0)
+        "valid", "violations")
+    if not prefiltered:
+        # the prefilter predicate is exactly OR(~ok_i) == "violations
+        # non-empty", so when it ran this filter is redundant — and far
+        # from free: predicate pushdown substitutes the whole
+        # violations expression into the pushed filter, re-evaluating
+        # every check and struct per row below the projection
+        slim = slim.where(F.size("violations") > 0)
     if persist:
         slim = slim.persist()
 
