@@ -2426,6 +2426,28 @@ class ColumnarValidator:
     def apply(self, df: DataFrame, out_valid: str = "valid",
               out_violations: str = "violations") -> DataFrame:
         dtypes = {f.name: f.dataType for f in df.schema.fields}
+        # The built Column trees are pure functions of (dtypes, output
+        # names) — they reference input columns BY NAME and carry no
+        # data or plan state — so a validator applied repeatedly to
+        # same-shaped inputs (the bench/scaling loop re-validates the
+        # same table every call) reuses the unresolved expression
+        # objects instead of re-issuing the ~10k py4j construction
+        # round-trips (~0.5 s per apply).  This memoizes EXPRESSIONS
+        # only: every invocation still plans, compiles and computes
+        # from the input — nothing about results or shuffles is reused.
+        ckey = (tuple(sorted((n, t.simpleString())
+                             for n, t in dtypes.items())),
+                out_valid, out_violations)
+        cached = getattr(self, "_apply_cache", {}).get(ckey)
+        if cached is not None:
+            added, viol_arr, valid_col = cached
+            for dname, build_col in added:
+                df = df.withColumn(dname, build_col)
+            df = df.withColumn(out_violations, viol_arr)
+            df = df.withColumn(out_valid, valid_col)
+            if added:
+                df = df.drop(*[n for n, _ in added])
+            return df
         # bind shared subexpressions (content decode chain) once per row
         # in a projection UNDER the check projection: each is referenced
         # many times by the per-keyword predicates, and CollapseProject
@@ -2434,9 +2456,9 @@ class ColumnarValidator:
         added = []
         for dname, (src, build_col) in self.derived.items():
             if src in dtypes and isinstance(dtypes[src], T.StringType):
-                df = df.withColumn(dname, build_col())
-                added.append(dname)
-        self._avail = set(added)
+                added.append((dname, build_col()))
+                df = df.withColumn(dname, added[-1][1])
+        self._avail = set(n for n, _ in added)
         structs = []
         for c in self.checks:
             if c.column == self._ROW_CHECK:
@@ -2503,17 +2525,20 @@ class ColumnarValidator:
         else:
             viol_arr = empty
         self._avail = set()
+        # no error-level violation; array_contains over the
+        # extracted level field instead of size(filter(...)) — the
+        # lambda form is CodegenFallback and would drop this
+        # projection out of codegen (entries are never null, and
+        # array_contains([]) is false, so semantics are identical)
+        valid_col = ~F.array_contains(
+            F.col(out_violations)["level"], "error")
+        if not hasattr(self, "_apply_cache"):
+            self._apply_cache = {}
+        self._apply_cache[ckey] = (added, viol_arr, valid_col)
         df = df.withColumn(out_violations, viol_arr)
-        df = df.withColumn(
-            out_valid,
-            # no error-level violation; array_contains over the
-            # extracted level field instead of size(filter(...)) — the
-            # lambda form is CodegenFallback and would drop this
-            # projection out of codegen (entries are never null, and
-            # array_contains([]) is false, so semantics are identical)
-            ~F.array_contains(F.col(out_violations)["level"], "error"))
+        df = df.withColumn(out_valid, valid_col)
         if added:
-            df = df.drop(*added)
+            df = df.drop(*[n for n, _ in added])
         return df
 
     def violation_prefilter(self, df: DataFrame) -> DataFrame:
@@ -2531,6 +2556,16 @@ class ColumnarValidator:
             raise ValueError("violation_prefilter does not support "
                              "schemas with content keywords")
         dtypes = {f.name: f.dataType for f in df.schema.fields}
+        # expression memo, same contract as apply(): Columns are pure
+        # functions of the input dtypes, reused across invocations
+        ckey = tuple(sorted((n, t.simpleString())
+                            for n, t in dtypes.items()))
+        if not hasattr(self, "_prefilter_cache"):
+            self._prefilter_cache = {}
+        cached = self._prefilter_cache.get(ckey)
+        if cached is not None:
+            return df.where(cached) if cached is not False \
+                else df.where(F.lit(False))
         preds = []
         for c in self.checks:
             if c.column == self._ROW_CHECK:
@@ -2542,10 +2577,12 @@ class ColumnarValidator:
                 ok = c.build(F.col(c.column), dtypes[c.column])
             preds.append(~ok.eqNullSafe(True))
         if not preds:
+            self._prefilter_cache[ckey] = False
             return df.where(F.lit(False))
         cond = preds[0]
         for p in preds[1:]:
             cond = cond | p
+        self._prefilter_cache[ckey] = cond
         return df.where(cond)
 
     def violation_rows(self, df: DataFrame, key_col: str) -> DataFrame:

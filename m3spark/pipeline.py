@@ -20,6 +20,31 @@ from pyspark.sql import functions as F
 from m3spark.columnar import ColumnarValidator
 from m3spark.pages import PAGES_SCHEMA
 
+# Validator memo: instances are pure compilations of (schema,
+# format_assertion) and cache their built Column expressions, so the
+# bench/scaling loop — which calls validate_pages on the same table
+# every iteration — skips the py4j expression reconstruction (~1.2 s
+# per call of pure driver time that the 4N scaling level cannot
+# parallelize).  Expressions only: every call still plans and computes
+# from its input; no results, plans, or shuffles are reused.
+_CV_CACHE: dict = {}
+
+
+def _validator(schema: dict, format_assertion: bool) -> ColumnarValidator:
+    import json
+
+    try:
+        key = (json.dumps(schema, sort_keys=True), format_assertion)
+    except (TypeError, ValueError):
+        return ColumnarValidator(schema, format_assertion=format_assertion)
+    cv = _CV_CACHE.get(key)
+    if cv is None:
+        cv = ColumnarValidator(schema, format_assertion=format_assertion)
+        if len(_CV_CACHE) > 32:
+            _CV_CACHE.clear()
+        _CV_CACHE[key] = cv
+    return cv
+
 
 def _heavy_null_only_cols(schema: dict, pages: DataFrame, key_col: str,
                           partition_expr: str) -> list[str]:
@@ -67,7 +92,7 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
       - ``partition_verdicts``: per-partition pass/fail + counts
     """
     schema = schema or PAGES_SCHEMA
-    cv = ColumnarValidator(schema, format_assertion=format_assertion)
+    cv = _validator(schema, format_assertion)
     rows = cv.apply(pages)
 
     # r8: persist only the VIOLATING rows.  The r7 shape cached the full
@@ -110,8 +135,7 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
         lschema = copy.deepcopy(schema)
         lschema["required"] = [r for r in schema["required"]
                                if r not in heavy]
-        cv_light = ColumnarValidator(lschema,
-                                     format_assertion=format_assertion)
+        cv_light = _validator(lschema, format_assertion)
         light = pages.drop(*heavy)
     try:
         bad = cv_light.violation_prefilter(light)
@@ -133,11 +157,114 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
     if persist:
         slim = slim.persist()
 
+    ex = _pipe_exprs(key_col, partition_expr, tuple(heavy))
+
     slim_heavy = None
+    if heavy:
+        # reuse the already-built full-apply tree (a second cv.apply
+        # costs ~0.5 s of py4j expression construction per call); the
+        # IsNull filter commutes with the row-wise projection and is
+        # pushed below it into the parquet scan
+        hv = rows.where(ex["null_any"])
+        slim_heavy = (hv.select(*ex["heavy_select"])
+                        .where(ex["hviols_nonempty"]))
+        if persist:
+            slim_heavy = slim_heavy.persist()
+
+    viol = slim.select(*ex["explode_violations"]).select(*ex["viol_cols"])
+    if slim_heavy is not None:
+        viol = viol.unionByName(
+            slim_heavy.select(*ex["explode_hviols"])
+                      .select(*ex["viol_cols"]))
+    if with_uniqueness:
+        dups = (pages.groupBy(F.col(key_col))
+                     .agg(ex["dup_count"])
+                     .filter(F.col("dup_count") > 1))
+        # a key duplicated ACROSS partitions has no single partition_key
+        # (filled null by allowMissingColumns)
+        viol = viol.unionByName(dups.select(*ex["dup_select"]),
+                                allowMissingColumns=True)
+
+    totals = pages.groupBy(ex["pk"]).agg(ex["rows_scanned"])
+    viol_agg = slim.groupBy("partition_key").agg(*ex["viol_agg"])
+    verdicts = (totals.join(viol_agg, "partition_key", "left")
+                      .select(*ex["verdict_select"]))
+    if slim_heavy is not None:
+        # heavy-null rows add their required violations, and count as
+        # newly-invalid only when the value scan saw no error for them
+        # (no row is counted twice; error-level heavy violations only)
+        hagg = slim_heavy.groupBy("partition_key").agg(*ex["hagg"])
+        verdicts = (verdicts.join(hagg, "partition_key", "left")
+                            .select(*ex["verdict_merge"]))
+    verdicts = verdicts.withColumn("passed", ex["passed"])
+    return {"rows": rows, "slim": slim, "slim_heavy": slim_heavy,
+            "violations": viol, "partition_verdicts": verdicts,
+            "validator": cv}
+
+
+# Column-expression memo for the pipeline body: every entry is a pure
+# function of (key_col, partition_expr, heavy column list) — reused
+# across calls for the same reason as the validator expression caches
+# (expressions only; nothing about plans, data or shuffles is shared).
+_PIPE_EXPRS: dict = {}
+
+
+def _pipe_exprs(key_col: str, partition_expr: str,
+                heavy: tuple) -> dict:
+    memo_key = (key_col, partition_expr, heavy)
+    ex = _PIPE_EXPRS.get(memo_key)
+    if ex is not None:
+        return ex
+    ex = {
+        "pk": F.expr(partition_expr).alias("partition_key"),
+        "rows_scanned": F.count(F.lit(1)).alias("rows_scanned"),
+        "dup_count": F.count(F.lit(1)).alias("dup_count"),
+        "passed": F.col("invalid_rows") == 0,
+        "hviols_nonempty": F.size("hviols") > 0,
+    }
+    ex["explode_violations"] = [
+        F.col(key_col), F.col("partition_key"),
+        F.explode("violations").alias("v")]
+    ex["explode_hviols"] = [
+        F.col(key_col), F.col("partition_key"),
+        F.explode("hviols").alias("v")]
+    ex["viol_cols"] = [
+        F.col(key_col), F.col("partition_key"),
+        F.col("v.keyword").alias("keyword"),
+        F.col("v.schema_path").alias("schema_path"),
+        F.col("v.doc_path").alias("doc_path"),
+        F.col("v.message").alias("message"),
+        F.col("v.level").alias("level"),
+        F.col("v.value").alias("value")]
+    ex["dup_select"] = [
+        F.col(key_col),
+        F.lit("uniqueItems").alias("keyword"),
+        F.lit("/uniqueItems").alias("schema_path"),
+        F.lit("/" + key_col).alias("doc_path"),
+        F.concat(F.lit("duplicate key: "),
+                 F.col("dup_count").cast("string"),
+                 F.lit(" occurrences")).alias("message"),
+        F.lit("error").alias("level")]
+    ex["viol_agg"] = [
+        F.sum((~F.col("valid")).cast("long")).alias("_invalid"),
+        F.sum(F.size(F.col("violations"))).alias("_vcount")]
+    ex["verdict_select"] = [
+        F.col("partition_key"), F.col("rows_scanned"),
+        F.coalesce("_invalid", F.lit(0)).cast("long")
+         .alias("invalid_rows"),
+        F.coalesce("_vcount", F.lit(0)).cast("long")
+         .alias("violation_count")]
+    ex["verdict_merge"] = [
+        F.col("partition_key"), F.col("rows_scanned"),
+        (F.col("invalid_rows") + F.coalesce("_hinvalid", F.lit(0)))
+        .cast("long").alias("invalid_rows"),
+        (F.col("violation_count") + F.coalesce("_hvcount", F.lit(0)))
+        .cast("long").alias("violation_count")]
     if heavy:
         null_any = F.col(heavy[0]).isNull()
         for c in heavy[1:]:
             null_any = null_any | F.col(c).isNull()
+        ex["null_any"] = null_any
         heavy_msgs = [f"required property {c!r} missing" for c in heavy]
 
         def _is_heavy_req(v):
@@ -145,84 +272,20 @@ def validate_pages(pages: DataFrame, schema: dict | None = None,
                     & (v["doc_path"] == "")
                     & v["message"].isin(heavy_msgs))
 
-        # reuse the already-built full-apply tree (a second cv.apply
-        # costs ~0.5 s of py4j expression construction per call); the
-        # IsNull filter commutes with the row-wise projection and is
-        # pushed below it into the parquet scan
-        hv = rows.where(null_any)
-        slim_heavy = (hv.select(
+        ex["heavy_select"] = [
             F.col(key_col),
             F.expr(partition_expr).alias("partition_key"),
             F.filter("violations", _is_heavy_req).alias("hviols"),
             F.exists("violations",
                      lambda v: (v["level"] == "error")
-                     & ~_is_heavy_req(v)).alias("other_err"))
-            .where(F.size("hviols") > 0))
-        if persist:
-            slim_heavy = slim_heavy.persist()
-
-    def _explode_viols(df, arr_col):
-        return (df.select(F.col(key_col), "partition_key",
-                          F.explode(arr_col).alias("v"))
-                  .select(key_col, "partition_key",
-                          F.col("v.keyword").alias("keyword"),
-                          F.col("v.schema_path").alias("schema_path"),
-                          F.col("v.doc_path").alias("doc_path"),
-                          F.col("v.message").alias("message"),
-                          F.col("v.level").alias("level"),
-                          F.col("v.value").alias("value")))
-
-    viol = _explode_viols(slim, "violations")
-    if slim_heavy is not None:
-        viol = viol.unionByName(_explode_viols(slim_heavy, "hviols"))
-    if with_uniqueness:
-        dups = (pages.groupBy(F.col(key_col))
-                     .agg(F.count(F.lit(1)).alias("dup_count"))
-                     .filter(F.col("dup_count") > 1))
-        # a key duplicated ACROSS partitions has no single partition_key
-        # (filled null by allowMissingColumns)
-        viol = viol.unionByName(dups.select(
-            F.col(key_col),
-            F.lit("uniqueItems").alias("keyword"),
-            F.lit("/uniqueItems").alias("schema_path"),
-            F.lit("/" + key_col).alias("doc_path"),
-            F.concat(F.lit("duplicate key: "),
-                     F.col("dup_count").cast("string"),
-                     F.lit(" occurrences")).alias("message"),
-            F.lit("error").alias("level")), allowMissingColumns=True)
-
-    totals = (pages.groupBy(F.expr(partition_expr).alias("partition_key"))
-                   .agg(F.count(F.lit(1)).alias("rows_scanned")))
-    viol_agg = (slim.groupBy("partition_key")
-                    .agg(F.sum((~F.col("valid")).cast("long"))
-                          .alias("_invalid"),
-                         F.sum(F.size(F.col("violations")))
-                          .alias("_vcount")))
-    verdicts = (totals.join(viol_agg, "partition_key", "left")
-                      .select("partition_key", "rows_scanned",
-                              F.coalesce("_invalid", F.lit(0))
-                               .cast("long").alias("invalid_rows"),
-                              F.coalesce("_vcount", F.lit(0))
-                               .cast("long").alias("violation_count")))
-    if slim_heavy is not None:
-        # heavy-null rows add their required violations, and count as
-        # newly-invalid only when the value scan saw no error for them
-        # (no row is counted twice; error-level heavy violations only)
-        hagg = (slim_heavy.groupBy("partition_key")
-                .agg(F.sum((F.exists("hviols",
-                                     lambda v: v["level"] == "error")
-                            & ~F.col("other_err")).cast("long"))
-                      .alias("_hinvalid"),
-                     F.sum(F.size("hviols")).alias("_hvcount")))
-        verdicts = (verdicts.join(hagg, "partition_key", "left")
-                    .select("partition_key", "rows_scanned",
-                            (F.col("invalid_rows")
-                             + F.coalesce("_hinvalid", F.lit(0)))
-                            .cast("long").alias("invalid_rows"),
-                            (F.col("violation_count")
-                             + F.coalesce("_hvcount", F.lit(0)))
-                            .cast("long").alias("violation_count")))
-    verdicts = verdicts.withColumn("passed", F.col("invalid_rows") == 0)
-    return {"rows": rows, "slim": slim, "slim_heavy": slim_heavy,
-            "violations": viol, "partition_verdicts": verdicts,
-            "validator": cv}
+                     & ~_is_heavy_req(v)).alias("other_err")]
+        ex["hagg"] = [
+            F.sum((F.exists("hviols",
+                            lambda v: v["level"] == "error")
+                   & ~F.col("other_err")).cast("long"))
+             .alias("_hinvalid"),
+            F.sum(F.size("hviols")).alias("_hvcount")]
+    if len(_PIPE_EXPRS) > 32:
+        _PIPE_EXPRS.clear()
+    _PIPE_EXPRS[memo_key] = ex
+    return ex
